@@ -1,0 +1,306 @@
+"""Fused batched train step: gather -> weighted-sum -> dot -> scatter-add.
+
+This is the TPU-native re-expression of the reference's per-example SGD
+inner loop (SVDFeature::update_inner, solvers/base-solver/
+apex_svd_base.h:456-462, with pred :445-454, calc_bias :313-353,
+prepare_tmp :354-381, update_no_decay :383-427 and the regularization
+modes :188-310).  One call processes a whole batch:
+
+  1. p_u[b] = sum_s u_val[b,s] * W[u_idx[b,s]]      (prepare_tmp)
+     p_i[b] = sum_s i_val[b,s] * W[i_idx[b,s]]
+  2. score = base + <g_val, g[g_idx]> + <u_val, b[u_idx]> + <i_val, b[i_idx]>
+             + dot(p_u, p_i)                         (pred)
+  3. err = cal_grad(label, act(score)) * weight      (cal_grad)
+  4. scatter-add:  W[u_idx] += lr*err*u_val * p_i    (update_no_decay)
+                   W[i_idx] += lr*err*i_val * p_u
+                   b[u_idx] += lr*err*u_val ; b[i_idx] += lr*err*i_val
+                   g[g_idx] += lr*err*g_val
+  5. weight decay on touched rows with multiplicity:
+     a row touched c times in the batch decays by (1-lr*wd)^c, the batched
+     equivalent of the reference's decay-per-touch.
+
+Batched-SGD semantics note: within a batch every example reads the same
+pre-update parameters and duplicate-row gradients sum (hogwild-equivalent);
+with batch_size=1 the math reduces exactly to the reference's sequential
+update.  Metric parity on the reference demos is the contract (SURVEY.md §7).
+
+All regularization modes of the reference are implemented:
+  0 L2, 1 L1 (soft-threshold), 2 L2-ball projection, 3 L1-pre,
+  4 lazy L2, 5 lazy L1 (catch-up by elapsed sample counter,
+  apex_svd_base.h:188-310).  Lazy modes carry per-row last-touch step
+  counters in TrainState.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses
+
+
+@dataclasses.dataclass(unsafe_hash=True)
+class HyperParams:
+    """Static (trace-time) switches of the train step."""
+
+    active_type: int = 0
+    no_user_bias: int = 0
+    reg_method: int = 0
+    reg_global: int = 0
+    user_nonnegative: int = 0
+    item_nonnegative: int = 0
+    base_score: float = 0.0
+    # svd++ block fields filled by the svdpp solver
+    svdpp: bool = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainConsts:
+    """Per-row decay-rate tables (traced constants, built once).
+
+    Row tables cover the unified space [N+1] (dummy row decays by 0).
+    wd_u_row applies to rows touched via the user segment, wd_i_row via the
+    item segment — distinct rows in practice, aliased under
+    common_latent_space where both factors apply, as in the reference.
+    """
+
+    wd_u_row: jax.Array  # [N+1]
+    wd_i_row: jax.Array  # [N+1]
+    wd_g_row: jax.Array  # [G+1] (0 for regfree-global and dummy)
+    wd_user_bias: jax.Array  # scalar
+    wd_item_bias: jax.Array  # scalar
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    w: jax.Array  # [N+1, k] (last row = dummy, stays 0)
+    b: jax.Array  # [N+1]
+    g: jax.Array  # [G+1]
+    step: jax.Array  # scalar i32: examples processed (sample_counter)
+    # lazy-decay last-touch counters (reg_method/reg_global >= 4), else size-0
+    ref_ui: jax.Array  # [N+1] i32
+    ref_g: jax.Array  # [G+1] i32
+
+
+def _gather_sum(tab: jax.Array, idx: jax.Array, val: jax.Array) -> jax.Array:
+    """sum_s val[b,s] * tab[idx[b,s]] -> [B, k]  (tab 2D) or [B] (tab 1D)."""
+    rows = tab[idx]  # [B, S, k] or [B, S]
+    if tab.ndim == 2:
+        return jnp.einsum("bs,bsk->bk", val, rows)
+    return jnp.einsum("bs,bs->b", val, rows)
+
+
+def forward_scores(
+    state: TrainState,
+    batch,
+    hp: HyperParams,
+    p_u_extra: Optional[jax.Array] = None,
+    bias_extra: Optional[jax.Array] = None,
+):
+    """Raw + activated predictions for a batch.
+
+    p_u_extra/bias_extra inject the SVD++ feedback term (prepare_svdpp /
+    get_bias_svdpp, apex_svd_base.h:429-437).
+    Returns (pred, p_u, p_i).
+    """
+    p_u = _gather_sum(state.w, batch["u_idx"], batch["u_val"])
+    p_i = _gather_sum(state.w, batch["i_idx"], batch["i_val"])
+    if p_u_extra is not None:
+        p_u = p_u + p_u_extra
+    score = hp.base_score + _gather_sum(state.g, batch["g_idx"], batch["g_val"])
+    score = score + _gather_sum(state.b, batch["i_idx"], batch["i_val"])
+    if not hp.no_user_bias:
+        score = score + _gather_sum(state.b, batch["u_idx"], batch["u_val"])
+        if bias_extra is not None:
+            score = score + bias_extra
+    score = score + jnp.einsum("bk,bk->b", p_u, p_i)
+    pred = losses.map_active(score, hp.active_type)
+    return pred, p_u, p_i
+
+
+def _scatter_rows(tab, idx, coef, vecs):
+    """tab[idx[b,s]] += coef[b,s] * vecs[b]  (2D tab)."""
+    B, S = idx.shape
+    upd = coef[..., None] * vecs[:, None, :]  # [B, S, k]
+    return tab.at[idx.reshape(-1)].add(upd.reshape(B * S, -1))
+
+
+def _scatter_vals(tab, idx, coef):
+    return tab.at[idx.reshape(-1)].add(coef.reshape(-1))
+
+
+def _touch_counts(n, idx):
+    return jnp.zeros((n,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+
+
+def _soft_threshold(w, lam):
+    """regularize_L1 (apex-tensor func_decl_common.h): shrink toward 0."""
+    return jnp.sign(w) * jnp.maximum(jnp.abs(w) - lam, 0.0)
+
+
+def _apply_factor_reg(
+    w, cu, ci, lr, consts: TrainConsts, hp: HyperParams
+):
+    """Eager latent-factor regularization (reg_method 0-3) on touched rows."""
+    m = hp.reg_method
+    lam_u = lr * consts.wd_u_row
+    lam_i = lr * consts.wd_i_row
+    if m == 0:
+        fac = jnp.power(1.0 - lam_u, cu) * jnp.power(1.0 - lam_i, ci)
+        return w * fac[:, None]
+    if m == 1:
+        # L1 soft-threshold; threshold compounds with touch count
+        lam = lam_u * cu + lam_i * ci
+        return _soft_threshold(w, lam[:, None])
+    if m == 2:
+        # project rows onto the L2 ball of radius sqrt(wd) (apex_svd_base.h:181-186)
+        # applied once per touch; projection is idempotent so multiplicity
+        # does not matter
+        touched = (cu + ci) > 0
+        wd_row = jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
+        sq = jnp.sum(w * w, axis=1)
+        scale = jnp.where(
+            touched & (sq > wd_row), jnp.sqrt(wd_row / jnp.maximum(sq, 1e-30)), 1.0
+        )
+        return w * scale[:, None]
+    if m == 3:
+        # reference mode 3: L1 for user rows (falls through case 1 in
+        # reg_user), L2 for item rows (falls through case 0 in reg_item)
+        w = _soft_threshold(w, (lam_u * cu)[:, None])
+        fac = jnp.power(1.0 - lam_i, ci)
+        return w * fac[:, None]
+    raise ValueError(f"unknown reg_method {m}")
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_step(
+    state: TrainState,
+    batch,
+    lr: jax.Array,
+    consts: TrainConsts,
+    hp: HyperParams,
+) -> TrainState:
+    """One batched SGD step (random-order format)."""
+    w, b, g = state.w, state.b, state.g
+    n_ui = w.shape[0]
+    n_g = g.shape[0]
+    u_idx, i_idx, g_idx = batch["u_idx"], batch["i_idx"], batch["g_idx"]
+
+    cu = _touch_counts(n_ui, u_idx)
+    ci = _touch_counts(n_ui, i_idx)
+    cg = _touch_counts(n_g, g_idx)
+
+    # --- lazy-decay catch-up (reg >= 4): decay by elapsed sample count
+    # BEFORE the gradient (regularize(pre), apex_svd_base.h:457,188-310).
+    # Note: the reference computes k = ref - sample_counter on unsigned ints
+    # (apex_svd_base.h:195,226,266), which wraps to ~2^32 and zeroes the row
+    # at first catch-up whenever wd>0 — an evident sign bug.  We implement
+    # the intended semantics, k = sample_counter - ref >= 0.
+    step0 = state.step
+    ref_ui, ref_g = state.ref_ui, state.ref_g
+    if hp.reg_method >= 4:
+        elapsed = (step0 - ref_ui).astype(jnp.float32)
+        touched = (cu + ci) > 0
+        k_ui = jnp.where(touched, elapsed, 0.0)
+        lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
+        if hp.reg_method == 4:
+            w = w * jnp.power(1.0 - lam, k_ui)[:, None]
+        else:
+            w = _soft_threshold(w, (lam * k_ui)[:, None])
+        ref_ui = jnp.where(touched, step0, ref_ui)
+    if hp.reg_global >= 4:
+        elapsed_g = (step0 - ref_g).astype(jnp.float32)
+        kg = jnp.where(cg > 0, elapsed_g, 0.0)
+        lam_g = lr * consts.wd_g_row
+        if hp.reg_global == 4:
+            g = g * jnp.power(1.0 - lam_g, kg)
+        else:
+            g = _soft_threshold(g, lam_g * kg)
+        ref_g = jnp.where(cg > 0, step0, ref_g)
+
+    # --- forward on pre-update parameters
+    st = dataclasses.replace(state, w=w, b=b, g=g)
+    pred, p_u, p_i = forward_scores(st, batch, hp)
+    err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+    lr_err = lr * err  # [B]
+
+    # --- scatter-add gradient (update_no_decay, apex_svd_base.h:383-427)
+    g = _scatter_vals(g, g_idx, lr_err[:, None] * batch["g_val"])
+    coef_u = lr_err[:, None] * batch["u_val"]  # [B, Su]
+    coef_i = lr_err[:, None] * batch["i_val"]
+    w = _scatter_rows(w, u_idx, coef_u, p_i)
+    w = _scatter_rows(w, i_idx, coef_i, p_u)
+    b = _scatter_vals(b, i_idx, coef_i)
+    if not hp.no_user_bias:
+        b = _scatter_vals(b, u_idx, coef_u)
+
+    # --- eager regularization (regularize(post)); multiplicity-compounded
+    if hp.reg_method < 4:
+        w = _apply_factor_reg(w, cu, ci, lr, consts, hp)
+    if hp.reg_global < 4:
+        if hp.reg_global == 0:
+            g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+        elif hp.reg_global == 1:
+            g = _soft_threshold(g, lr * consts.wd_g_row * cg)
+        else:
+            raise ValueError(f"unknown global decay method {hp.reg_global}")
+
+    # bias decay: always plain L2 per touch (apex_svd_base.h:246-249, 281-283)
+    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+    if not hp.no_user_bias:
+        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+    b = b * fac_b
+
+    # nonnegativity clamp on touched rows (apex_svd_base.h:242-245)
+    if hp.user_nonnegative:
+        w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+    if hp.item_nonnegative:
+        w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+
+    # keep dummy rows clean (padding targets)
+    w = w.at[-1].set(0.0)
+    b = b.at[-1].set(0.0)
+    g = g.at[-1].set(0.0)
+
+    nstep = step0 + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
+    return TrainState(w=w, b=b, g=g, step=nstep, ref_ui=ref_ui, ref_g=ref_g)
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_epoch(
+    state: TrainState,
+    stacked,
+    lr: jax.Array,
+    consts: TrainConsts,
+    hp: HyperParams,
+) -> TrainState:
+    """Scan the fused step over all batches of an epoch on-device.
+
+    One dispatch per epoch: the whole round runs without host round-trips
+    (the reference's producer-thread double-buffering, apex_buffer_loader.h,
+    becomes 'stage the epoch once, scan').
+    """
+
+    def body(st, batch):
+        return train_step.__wrapped__(st, batch, lr, consts, hp), None
+
+    state, _ = jax.lax.scan(body, state, stacked)
+    return state
+
+
+@partial(jax.jit, static_argnames=("hp",))
+def predict_batches(state: TrainState, stacked, hp: HyperParams):
+    """Forward-only predictions for stacked batches -> [T, B]."""
+
+    def body(_, batch):
+        pred, _, _ = forward_scores(state, batch, hp)
+        return None, pred
+
+    _, preds = jax.lax.scan(body, None, stacked)
+    return preds

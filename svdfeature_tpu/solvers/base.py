@@ -1,0 +1,215 @@
+"""Base SGD solver: the TPU-native SVDFeature trainer.
+
+Re-design of class SVDFeature (solvers/base-solver/apex_svd_base.h:79-479).
+The trainer owns the model pytree (with dummy padding rows appended), packs
+datasets into fixed-shape stacked batches once, stages them on device, and
+runs each round as a single on-device lax.scan of the fused train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import BinaryIO, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import PackedBatches, pack_csr
+from ..data.csr import CSRDataset
+from ..model import SVDModel
+from ..ops.embed import (
+    HyperParams,
+    TrainConsts,
+    TrainState,
+    predict_batches,
+    train_epoch,
+)
+from ..params import ParameterSet, SVDModelParam, SVDTrainParam, SVDTypeParam
+from ..utils.sparse_feature_array import SparseFeatureArray
+
+DEFAULT_BATCH_SIZE = 1024
+
+
+class SVDFeatureTrainer:
+    """Random-order-format trainer (ISVDTrainer contract, apex_svd.h:33-107)."""
+
+    def __init__(self, mtype: SVDTypeParam):
+        self.mtype = mtype
+        self.mparam = SVDModelParam()
+        self.tparam = SVDTrainParam()
+        self.u_param = ParameterSet("up:", "uip:")
+        self.i_param = ParameterSet("ip:", "uip:")
+        self.g_param = ParameterSet("gp:", "gp:")
+        self.name_feat_user: Optional[str] = None
+        self.name_feat_item: Optional[str] = None
+        self.feat_user: Optional[SparseFeatureArray] = None
+        self.feat_item: Optional[SparseFeatureArray] = None
+        self.batch_size = DEFAULT_BATCH_SIZE
+        self.seed = 10
+        self.round_counter = 0
+        self.learning_rate: float = 0.01
+        self.model: Optional[SVDModel] = None
+        self.state: Optional[TrainState] = None
+        self.consts: Optional[TrainConsts] = None
+        self.hp: Optional[HyperParams] = None
+        self._space_allocated = False
+        self._pack_cache: Dict[int, object] = {}
+
+    # ---- configuration -----------------------------------------------------
+    def set_param(self, name: str, val: str) -> None:
+        if name == "feature_user":
+            self.name_feat_user = val
+        if name == "feature_item":
+            self.name_feat_item = val
+        if name == "batch_size":
+            self.batch_size = int(val)
+        if name == "seed":
+            self.seed = int(val)
+        self.tparam.set_param(name, val)
+        self.u_param.set_param(name, val)
+        self.i_param.set_param(name, val)
+        self.g_param.set_param(name, val)
+        if not self._space_allocated:
+            self.mparam.set_param(name, val)
+
+    # ---- model lifecycle ----------------------------------------------------
+    def init_model(self) -> None:
+        self.model = SVDModel.rand_init(self.mparam, self.mtype, seed=self.seed)
+        self.mparam = self.model.param  # base_score transformed
+        self._space_allocated = True
+
+    def load_model(self, f: BinaryIO) -> None:
+        self.model = SVDModel.load(f, self.mtype)
+        self.mparam = self.model.param
+        self._space_allocated = True
+
+    def save_model(self, f: BinaryIO) -> None:
+        self._sync_model_from_state()
+        self.model.save(f)
+
+    def _sync_model_from_state(self) -> None:
+        if self.state is not None:
+            self.model = dataclasses.replace(
+                self.model,
+                w=self.state.w[:-1],
+                b=self.state.b[:-1],
+                g=self.state.g[:-1],
+            )
+
+    # ---- trainer lifecycle ---------------------------------------------------
+    def init_trainer(self) -> None:
+        if self.name_feat_user and self.name_feat_user != "NULL":
+            self.feat_user = SparseFeatureArray.load(self.name_feat_user)
+        if self.name_feat_item and self.name_feat_item != "NULL":
+            self.feat_item = SparseFeatureArray.load(self.name_feat_item)
+        m = self.model
+        n = m.num_rows
+        k = m.num_factor
+        # dummy row appended for padding targets
+        self.state = TrainState(
+            w=jnp.concatenate([m.w, jnp.zeros((1, k), jnp.float32)]),
+            b=jnp.concatenate([m.b, jnp.zeros((1,), jnp.float32)]),
+            g=jnp.concatenate([m.g, jnp.zeros((1,), jnp.float32)]),
+            step=jnp.zeros((), jnp.int32),
+            ref_ui=jnp.zeros((n + 1,), jnp.int32),
+            ref_g=jnp.zeros((m.param.num_global + 1,), jnp.int32),
+        )
+        self.consts = self._build_consts()
+        self.hp = self._build_hp()
+        self.learning_rate = self.tparam.learning_rate
+        self.round_counter = 0
+
+    def _build_hp(self) -> HyperParams:
+        p = self.model.param
+        return HyperParams(
+            active_type=self.mtype.active_type,
+            no_user_bias=p.no_user_bias,
+            reg_method=self.tparam.reg_method,
+            reg_global=self.tparam.reg_global,
+            user_nonnegative=p.user_nonnegative,
+            item_nonnegative=p.item_nonnegative,
+            base_score=float(p.base_score),
+        )
+
+    def _build_consts(self) -> TrainConsts:
+        """Densify per-row weight-decay tables (ParameterSet ranges override
+        the scalar wd over id ranges; apex_svd_base.h:33-75,188-283)."""
+        m = self.model
+        p = m.param
+        n = m.num_rows
+        wd_u = np.zeros(n + 1, np.float32)
+        wd_i = np.zeros(n + 1, np.float32)
+        # ids reaching reg_user are user-local ids; table rows off_user+id
+        wd_u[m.off_user : m.off_user + p.num_user] = self.u_param.wd_table(
+            p.num_user, self.tparam.wd_user
+        )
+        wd_i[m.off_item : m.off_item + p.num_item] = self.i_param.wd_table(
+            p.num_item, self.tparam.wd_item
+        )
+        # hierarchical parents live in the same id spaces, covered above
+        wd_g = np.zeros(p.num_global + 1, np.float32)
+        if p.num_global:
+            wd_g[: p.num_global] = self.g_param.wd_table(
+                p.num_global, self.tparam.wd_global
+            )
+            wd_g[: self.tparam.num_regfree_global] = 0.0
+        return TrainConsts(
+            wd_u_row=jnp.asarray(wd_u),
+            wd_i_row=jnp.asarray(wd_i),
+            wd_g_row=jnp.asarray(wd_g),
+            wd_user_bias=jnp.float32(self.tparam.wd_user_bias),
+            wd_item_bias=jnp.float32(self.tparam.wd_item_bias),
+        )
+
+    def set_round(self, nround: int) -> None:
+        """Learning-rate decay schedule (apex_svd_base.h:470-478)."""
+        if self.tparam.decay_learning_rate:
+            assert self.round_counter <= nround, "round counter restriction"
+            while self.round_counter < nround:
+                self.learning_rate *= self.tparam.decay_rate
+                self.round_counter += 1
+
+    def finish_round(self) -> None:
+        pass
+
+    # ---- data packing ---------------------------------------------------------
+    def _pack(self, ds: CSRDataset):
+        key = id(ds)
+        if key not in self._pack_cache:
+            m = self.model
+            packed = pack_csr(
+                ds,
+                self.batch_size,
+                m.num_rows,
+                m.param.num_global,
+                m.off_user,
+                m.off_item,
+                feat_user=self.feat_user,
+                feat_item=self.feat_item,
+                num_user=m.param.num_user,
+                num_item=m.param.num_item,
+            )
+            self._pack_cache[key] = (
+                jax.device_put(packed.arrays()),
+                ds.num_row,
+            )
+        return self._pack_cache[key]
+
+    # ---- training / prediction --------------------------------------------------
+    def update_all(self, ds: CSRDataset) -> None:
+        """One pass over the dataset (one round)."""
+        stacked, _ = self._pack(ds)
+        self.state = train_epoch(
+            self.state, stacked, jnp.float32(self.learning_rate), self.consts, self.hp
+        )
+
+    def predict_all(self, ds: CSRDataset) -> np.ndarray:
+        stacked, nrow = self._pack(ds)
+        preds = predict_batches(self.state_or_model(), stacked, self.hp)
+        return np.asarray(preds).reshape(-1)[:nrow]
+
+    def state_or_model(self) -> TrainState:
+        if self.state is None:
+            self.init_trainer()
+        return self.state
