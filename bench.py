@@ -1,0 +1,101 @@
+"""Headline benchmark: basicMF ML-100K SGD training throughput on the
+default device (real TPU chip under the driver).
+
+Trains the reference's flagship demo workload (demo/basicMF, ML-100K,
+k=64, 40 rounds) with the fused batched train step, verifies final RMSE
+against the regenerated reference golden (golden/GOLDEN.json), and prints
+ONE JSON line:
+
+  {"metric": "examples_per_sec_basicMF", "value": N, "unit": "examples/s",
+   "vs_baseline": N / <reference CPU examples/s>}
+
+vs_baseline compares against the reference C++ binary's measured
+throughput on this machine's CPU (golden/GOLDEN.json,
+basicMF.examples_per_sec_cpu) — the only hardware the reference runs on.
+"""
+
+import gzip
+import json
+import os
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).parent
+sys.path.insert(0, str(ROOT))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from svdfeature_tpu.config import ConfigSaver
+    from svdfeature_tpu.data.text import load_feature_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.base import SVDFeatureTrainer
+
+    golden = json.load(open(ROOT / "golden" / "GOLDEN.json"))
+    base_eps = golden["basicMF"]["examples_per_sec_cpu"]
+    golden_rmse = golden["basicMF"]["final_rmse"]
+
+    with gzip.open(ROOT / "tests/fixtures/ml100k.base.feature.gz", "rt") as f:
+        train_ds = load_feature_text("x", text=f.read())
+    with gzip.open(ROOT / "tests/fixtures/ml100k.test.feature.gz", "rt") as f:
+        test_ds = load_feature_text("x", text=f.read())
+
+    def make_trainer(batch_size):
+        mt = SVDTypeParam(format_type=0)
+        tr = SVDFeatureTrainer(mt)
+        for n, v in [
+            ("base_score", "3"), ("learning_rate", "0.005"),
+            ("wd_item", "0.004"), ("wd_user", "0.004"),
+            ("num_item", "1682"), ("num_user", "943"),
+            ("num_global", "0"), ("num_factor", "64"),
+        ]:
+            tr.set_param(n, v)
+        tr.set_param("batch_size", str(batch_size))
+        tr.init_model()
+        tr.init_trainer()
+        return tr
+
+    ROUNDS = 40
+    tr = make_trainer(1024)
+    # warmup/compile
+    tr.update_all(train_ds)
+    jax.block_until_ready(tr.state.w)
+    tr = make_trainer(1024)
+    t0 = time.time()
+    for _ in range(ROUNDS):
+        tr.update_all(train_ds)
+    jax.block_until_ready(tr.state.w)
+    dt = time.time() - t0
+    eps = ROUNDS * train_ds.num_row / dt
+
+    preds = tr.predict_all(test_ds)
+    import numpy as np
+
+    rmse = float(np.sqrt(np.mean((preds - test_ds.labels) ** 2)))
+    ok = abs(rmse - golden_rmse) < 0.02
+    if not ok:
+        print(
+            f"WARNING: RMSE {rmse:.4f} vs golden {golden_rmse:.4f} out of tolerance",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "examples_per_sec_basicMF_40rounds",
+                "value": round(eps),
+                "unit": "examples/s",
+                "vs_baseline": round(eps / base_eps, 2),
+                "final_rmse": round(rmse, 5),
+                "golden_rmse": golden_rmse,
+                "rmse_ok": ok,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Multi-chip sharding: (data, model) mesh, row-sharded tables, shard_map step.
+
+The reference is strictly single-process (SURVEY.md §2.7) — this module is
+the net-new distributed layer.  Design (scaling-book recipe):
+
+* 2-D ``Mesh(('data', 'model'))``: batch is sharded over ``data``, the
+  unified embedding table ``w``/``b`` is **row-sharded** over ``model``
+  (the TP analogue for a factorization model — each shard owns a
+  contiguous row range of the user/item/feedback table).
+* Embedding lookup on a row-sharded table = *masked local gather + psum*:
+  each shard gathers only the ids it owns (others hit its local dummy row)
+  and the partial weighted sums are psum-reduced over ``model``.  The
+  communication is O(B·k) activations over ICI — never the table.
+* Scatter-add update: each shard applies only the updates whose target row
+  it owns (ids outside the local range are redirected to the local dummy
+  row); no gradient communication for the table at all.
+* Dense/global arrays (g_bias) are replicated; their gradients are summed
+  with a psum over both axes.  Per-example err is computed redundantly per
+  model-shard (cheap scalars) to avoid a broadcast round-trip.
+
+PP is N/A for a one-layer factorization model (SURVEY.md §2.7); the
+SVD++ feedback segment-sum is the SP/CP analogue and shards the same way
+(ids routed by ownership).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import losses
+from ..ops.embed import HyperParams, TrainConsts, TrainState
+
+
+def make_mesh(
+    n_data: int, n_model: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model, "not enough devices"
+    arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _pad_rows(n: int, shards: int) -> int:
+    """Padded row count so each shard owns an equal slab (incl. dummy)."""
+    per = -(-n // shards)
+    return per * shards
+
+
+def shard_state(
+    state: TrainState, mesh: Mesh
+) -> Tuple[TrainState, int]:
+    """Pad the table to a multiple of the model axis and shard rows.
+
+    Each shard's local slab gets its own trailing dummy row semantics: ids
+    not owned by a shard are remapped to the global padded-dummy region.
+    Returns (sharded_state, padded_num_rows).
+    """
+    n_model = mesh.shape["model"]
+    n = state.w.shape[0]  # includes the global dummy row
+    n_pad = _pad_rows(n, n_model)
+    pad = n_pad - n
+    w = jnp.concatenate([state.w, jnp.zeros((pad, state.w.shape[1]), state.w.dtype)])
+    b = jnp.concatenate([state.b, jnp.zeros((pad,), state.b.dtype)])
+    ref_ui = jnp.concatenate([state.ref_ui, jnp.zeros((pad,), jnp.int32)])
+    row_sh = NamedSharding(mesh, P("model", None))
+    vec_sh = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    return (
+        TrainState(
+            w=jax.device_put(w, row_sh),
+            b=jax.device_put(b, vec_sh),
+            g=jax.device_put(state.g, rep),
+            step=jax.device_put(state.step, rep),
+            ref_ui=jax.device_put(ref_ui, vec_sh),
+            ref_g=jax.device_put(state.ref_g, rep),
+        ),
+        n_pad,
+    )
+
+
+def shard_consts(consts: TrainConsts, mesh: Mesh, n_pad: int) -> TrainConsts:
+    n = consts.wd_u_row.shape[0]
+    pad = n_pad - n
+    z = jnp.zeros((pad,), jnp.float32)
+    vec_sh = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    return TrainConsts(
+        wd_u_row=jax.device_put(jnp.concatenate([consts.wd_u_row, z]), vec_sh),
+        wd_i_row=jax.device_put(jnp.concatenate([consts.wd_i_row, z]), vec_sh),
+        wd_g_row=jax.device_put(consts.wd_g_row, rep),
+        wd_user_bias=jax.device_put(consts.wd_user_bias, rep),
+        wd_item_bias=jax.device_put(consts.wd_item_bias, rep),
+    )
+
+
+def _local_gather_sum(tab, idx, val, lo, n_local, dummy_local):
+    """Masked local gather: ids in [lo, lo+n_local) -> local rows, others ->
+    local dummy row (contributes 0)."""
+    loc = idx - lo
+    own = (loc >= 0) & (loc < n_local)
+    loc = jnp.where(own, loc, dummy_local)
+    v = jnp.where(own, val, 0.0)
+    rows = tab[loc]
+    if tab.ndim == 2:
+        return jnp.einsum("bs,bsk->bk", v, rows)
+    return jnp.einsum("bs,bs->b", v, rows)
+
+
+def _local_ids(idx, val, lo, n_local, dummy_local):
+    loc = idx - lo
+    own = (loc >= 0) & (loc < n_local)
+    return jnp.where(own, loc, dummy_local), jnp.where(own, val, 0.0)
+
+
+def sharded_train_step(
+    mesh: Mesh, hp: HyperParams, n_pad: int
+):
+    """Build the shard_map'd batched train step.
+
+    The returned function has signature (state, batch, lr, consts) -> state
+    where state tables are row-sharded and batch is data-sharded.  The local
+    dummy row of each shard is its last local row only for the final shard;
+    we instead keep ONE global dummy region (the padded tail rows of the
+    last shard) and redirect non-owned ids to a per-shard scratch row —
+    implemented by appending one extra scratch row to each local slab via
+    index clamping into the local dummy slot (n_local-1 of the padded tail).
+
+    Simplification used here: the *global* dummy/padding rows live in the
+    padded tail; each shard redirects non-owned ids to its local copy of
+    row (n_local-1) **only for gathers where the value is simultaneously
+    zeroed**, so the redirect target's contents are irrelevant; for
+    scatters the zero coefficient makes the add a no-op.
+    """
+    from jax import shard_map
+
+    n_model = mesh.shape["model"]
+    n_local = n_pad // n_model
+    if hp.reg_method != 0 or hp.reg_global != 0:
+        raise NotImplementedError(
+            "sharded step currently supports eager L2 (reg_method=0); "
+            "other modes run single-chip"
+        )
+
+    def step(state: TrainState, batch, lr, consts: TrainConsts):
+        # local shards
+        w, b, g = state.w, state.b, state.g  # w:[n_local,k] b:[n_local]
+        shard_id = jax.lax.axis_index("model")
+        lo = shard_id * n_local
+        dummy = n_local - 1  # local redirect slot (values zeroed on use)
+
+        u_idx, u_val = batch["u_idx"], batch["u_val"]
+        i_idx, i_val = batch["i_idx"], batch["i_val"]
+
+        # ---- forward: masked local gathers, psum over model
+        p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
+        p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
+        bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
+        if not hp.no_user_bias:
+            bias = bias + _local_gather_sum(b, u_idx, u_val, lo, n_local, dummy)
+        p_u, p_i, bias = jax.lax.psum((p_u, p_i, bias), "model")
+        score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
+        score = score + jnp.einsum(
+            "bs,bs->b", batch["g_val"], g[batch["g_idx"]]
+        )  # g replicated
+        pred = losses.map_active(score, hp.active_type)
+        err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+        lr_err = lr * err
+
+        # ---- scatter-add updates on locally-owned rows.
+        # The sparse update tuples (ids, coefs, factor vectors) are
+        # all-gathered over the data axis so every data-replica of a model
+        # shard applies the identical total update — comm is O(D*B*k)
+        # activations over ICI, never O(N*k) table gradients.
+        lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
+        li_idx, li_val = _local_ids(i_idx, i_val, lo, n_local, dummy)
+        coef_u = lr_err[:, None] * lu_val
+        coef_i = lr_err[:, None] * li_val
+        ag = lambda x: jax.lax.all_gather(x, "data")
+        g_lu_idx, g_li_idx = ag(lu_idx), ag(li_idx)  # [D, B, S]
+        g_coef_u, g_coef_i = ag(coef_u), ag(coef_i)
+        g_p_u, g_p_i = ag(p_u), ag(p_i)  # [D, B, k]
+        k = w.shape[1]
+        w = w.at[g_lu_idx.reshape(-1)].add(
+            (g_coef_u[..., None] * g_p_i[:, :, None, :]).reshape(-1, k)
+        )
+        w = w.at[g_li_idx.reshape(-1)].add(
+            (g_coef_i[..., None] * g_p_u[:, :, None, :]).reshape(-1, k)
+        )
+        b = b.at[g_li_idx.reshape(-1)].add(g_coef_i.reshape(-1))
+        if not hp.no_user_bias:
+            b = b.at[g_lu_idx.reshape(-1)].add(g_coef_u.reshape(-1))
+        # global bias: replicated; sum contributions over data shards
+        g_upd = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
+            (lr_err[:, None] * batch["g_val"]).reshape(-1)
+        )
+        g = g + jax.lax.psum(g_upd, "data")
+
+        # ---- decay on touched local rows (touch counts psum'd over data)
+        cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
+            jnp.where(lu_val.reshape(-1) != 0, 1.0, 0.0)
+        )
+        ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
+            jnp.where(li_val.reshape(-1) != 0, 1.0, 0.0)
+        )
+        cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
+            jnp.where(batch["g_val"].reshape(-1) != 0, 1.0, 0.0)
+        )
+        cu, ci = jax.lax.psum((cu, ci), "data")
+        cg = jax.lax.psum(cg, "data")
+        fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
+            1.0 - lr * consts.wd_i_row, ci
+        )
+        w = w * fac[:, None]
+        g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+        fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+        if not hp.no_user_bias:
+            fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+        b = b * fac_b
+
+        # scrub the redirect slot (received zero-coef adds but decay factors
+        # may have scaled it; keep exact zeros)
+        w = w.at[dummy].set(jnp.where(lo + dummy >= n_pad - 1, 0.0, w[dummy]))
+
+        nstep = state.step + jax.lax.psum(
+            jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"
+        )
+        return TrainState(
+            w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+        )
+
+    state_spec = TrainState(
+        w=P("model", None),
+        b=P("model"),
+        g=P(),
+        step=P(),
+        ref_ui=P("model"),
+        ref_g=P(),
+    )
+    batch_spec = {
+        k: P("data") for k in ("label", "weight")
+    } | {
+        k: P("data", None)
+        for k in ("g_idx", "g_val", "u_idx", "u_val", "i_idx", "i_val")
+    }
+    consts_spec = TrainConsts(
+        wd_u_row=P("model"),
+        wd_i_row=P("model"),
+        wd_g_row=P(),
+        wd_user_bias=P(),
+        wd_item_bias=P(),
+    )
+    # check_vma=False: the static replication checker cannot infer that the
+    # all-gathered sparse updates leave w/b identical across the data axis
+    # (they do — the gathered tuples are the same on every data shard).
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, P(), consts_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -1,0 +1,84 @@
+"""Multi-device parity: the sharded train step must match the single-device
+step numerically (SURVEY.md §4: 1-device vs N-device near-equal parameter
+trajectories on a CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svdfeature_tpu.ops.embed import train_step
+from svdfeature_tpu.parallel.mesh import (
+    make_mesh,
+    shard_consts,
+    shard_state,
+    sharded_train_step,
+)
+from tests.conftest import cpu_devices
+
+import __graft_entry__ as ge
+
+
+@pytest.mark.parametrize("n_data,n_model", [(1, 1), (2, 1), (1, 2), (4, 2)])
+def test_sharded_step_matches_single(n_data, n_model):
+    if len(cpu_devices()) < n_data * n_model:
+        pytest.skip("not enough devices")
+    state, batch, hp, consts = ge._toy_setup(batch_size=8 * max(n_data, 1), k=8)
+    # single-device ground truth
+    ref = train_step(
+        jax.tree.map(jnp.copy, state), batch, jnp.float32(0.005), consts, hp
+    )
+    mesh = make_mesh(n_data, n_model, cpu_devices())
+    sstate, n_pad = shard_state(state, mesh)
+    sconsts = shard_consts(consts, mesh, n_pad)
+    step = sharded_train_step(mesh, hp, n_pad)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sbatch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P("data") if v.ndim == 1 else P("data", None))
+        )
+        for k, v in batch.items()
+    }
+    out = step(sstate, sbatch, jnp.float32(0.005), sconsts)
+    n = ref.w.shape[0]
+    np.testing.assert_allclose(np.asarray(out.w)[:n], np.asarray(ref.w), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.b)[:n], np.asarray(ref.b), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.g), np.asarray(ref.g), rtol=2e-5, atol=1e-6)
+    assert int(out.step) == int(ref.step)
+
+
+def test_multi_step_trajectory():
+    """Run several sharded steps and compare the trajectory."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    state, batch, hp, consts = ge._toy_setup(batch_size=16, k=8)
+    ref = jax.tree.map(jnp.copy, state)
+    lr = jnp.float32(0.01)
+    for _ in range(5):
+        ref = train_step(ref, batch, lr, consts, hp)
+    mesh = make_mesh(2, 2, cpu_devices())
+    sstate, n_pad = shard_state(state, mesh)
+    sconsts = shard_consts(consts, mesh, n_pad)
+    step = sharded_train_step(mesh, hp, n_pad)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sbatch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P("data") if v.ndim == 1 else P("data", None))
+        )
+        for k, v in batch.items()
+    }
+    for _ in range(5):
+        sstate = step(sstate, sbatch, lr, sconsts)
+    n = ref.w.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(sstate.w)[:n], np.asarray(ref.w), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_graft_entry():
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256,)
+    assert np.isfinite(np.asarray(out)).all()
