@@ -1,0 +1,208 @@
+"""User-group (SVD++) batch packing: one-row-per-user batches.
+
+Why this layout (it differs deliberately from the reference's
+block-at-a-time loop, and from naive global batching):
+
+* The reference trains user blocks sequentially; its shared-feedback-row
+  writebacks and per-user bias updates are stable because each update is
+  visible to the next row (Gauss-Seidel).  Batching either (a) many rows
+  of one user, or (b) the feedback writebacks of very many users into one
+  simultaneous step multiplies the effective step size in the conflicting
+  subspace and diverges.
+* Layout: blocks are sorted by size (descending) and grouped into chunks
+  of G blocks; batch t of a chunk holds row t of each of its G users —
+  exactly one row per user per batch, so per-batch scatter conflicts on
+  user rows are 1 and the feedback-writeback Jacobi width is G (stable for
+  lr * G * overlap << 2; G defaults to 128).
+* The feedback pools are per-chunk [C, F]; the train step refreshes the
+  per-block feedback aggregates from the live tables every batch and
+  writes the per-batch feedback delta straight back — freshness is
+  per-batch, i.e. better than the reference's per-block freshness.
+* START/MIDDLE/END split sequences (apex_svd_data.cpp:470-505) are merged
+  into logical blocks at pack time — equivalent to the reference's carried
+  tmp/old_ufeedback threading (apex_svd_base.h:568-582).
+
+Output: row arrays [T, G, ...] (T = total batches across chunks),
+chunk_id [T], feedback pools [C, F].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .csr import CSRDataset, PlusBlock, PlusDataset, TAG_DEFAULT, TAG_END, TAG_START
+from .batching import _pad_segment, _segment_entries, expand_segment
+from ..utils.sparse_feature_array import SparseFeatureArray
+
+
+@dataclasses.dataclass
+class PackedPlusBatches:
+    label: np.ndarray  # [T, G]
+    weight: np.ndarray
+    g_idx: np.ndarray  # [T, G, Sg]
+    g_val: np.ndarray
+    u_idx: np.ndarray
+    u_val: np.ndarray
+    i_idx: np.ndarray
+    i_val: np.ndarray
+    chunk_id: np.ndarray  # [T] i32
+    fb_idx: np.ndarray  # [C, F]
+    fb_val: np.ndarray  # [C, F]
+    fb_block: np.ndarray  # [C, F] chunk-local block slot (pad = G)
+    perm: np.ndarray  # [R]: dataset row -> packed slot (t*G + g)
+    num_blocks_local: int  # G
+
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        d = dataclasses.asdict(self)
+        for k in ("perm", "num_blocks_local", "fb_idx", "fb_val", "fb_block"):
+            d.pop(k)
+        return d
+
+    def fb_arrays(self) -> Dict[str, np.ndarray]:
+        return {"fb_idx": self.fb_idx, "fb_val": self.fb_val, "fb_block": self.fb_block}
+
+
+def merge_split_blocks(ds: PlusDataset) -> List[PlusBlock]:
+    """Merge START..MIDDLE..END chunk sequences into logical blocks."""
+    out: List[PlusBlock] = []
+    pending: List[PlusBlock] = []
+    for blk in ds.blocks():
+        if blk.extend_tag == TAG_DEFAULT:
+            assert not pending, "unterminated split block sequence"
+            out.append(blk)
+        elif blk.extend_tag == TAG_START:
+            assert not pending, "nested split block sequence"
+            pending = [blk]
+        elif blk.extend_tag == TAG_END:
+            pending.append(blk)
+            merged = PlusBlock(
+                fb_index=pending[0].fb_index,
+                fb_value=pending[0].fb_value,
+                data=CSRDataset.concat([p.data for p in pending]),
+                extend_tag=TAG_DEFAULT,
+                extra_info=pending[0].extra_info,
+            )
+            out.append(merged)
+            pending = []
+        else:  # MIDDLE
+            assert pending, "MIDDLE block without START"
+            pending.append(blk)
+    assert not pending, "unterminated split block sequence"
+    return out
+
+
+def pack_plus(
+    ds: PlusDataset,
+    users_per_batch: int,
+    num_rows_table: int,
+    num_global: int,
+    off_user: int,
+    off_item: int,
+    off_ufeedback: int,
+    feat_user: Optional[SparseFeatureArray] = None,
+    feat_item: Optional[SparseFeatureArray] = None,
+    num_user: Optional[int] = None,
+    num_item: Optional[int] = None,
+    num_ufeedback: Optional[int] = None,
+) -> PackedPlusBatches:
+    blocks = merge_split_blocks(ds)
+    G = max(1, min(users_per_batch, len(blocks)))
+
+    # sort by size (desc) so chunks hold similarly-sized blocks -> low padding
+    sizes = np.array([b.data.num_row for b in blocks], np.int64)
+    order = np.argsort(-sizes, kind="stable")
+    chunks: List[np.ndarray] = [order[i : i + G] for i in range(0, len(order), G)]
+    C = len(chunks)
+    F = max(
+        1,
+        max(int(sum(blocks[int(bi)].num_ufeedback for bi in ch)) for ch in chunks),
+    )
+    Tcs = [int(sizes[ch].max()) for ch in chunks]
+    T = sum(Tcs)
+
+    rows_all = CSRDataset.concat([b.data for b in blocks])
+    R = rows_all.num_row
+    block_starts = np.cumsum(sizes) - sizes
+
+    seg_padded = []
+    seg_widths = []
+    for seg, (feat, scale, off, bound, name) in enumerate(
+        [
+            (None, False, 0, num_global, "global"),
+            (feat_user, False, off_user, num_user, "user"),
+            (feat_item, True, off_item, num_item, "item"),
+        ]
+    ):
+        idx, val, rws = _segment_entries(rows_all, seg)
+        if bound is not None and len(idx) and idx.max() >= bound:
+            raise ValueError(f"{name} feature index exceed bound")
+        idx, val, rws = expand_segment(idx, val, rws, feat, scale)
+        dummy = num_global if seg == 0 else num_rows_table
+        pi, pv = _pad_segment(idx.astype(np.int64) + off, val, rws, R, dummy)
+        seg_padded.append((pi, pv))
+        seg_widths.append(pi.shape[1])
+
+    dummy_row = num_rows_table
+    out = {
+        "label": np.zeros((T, G), np.float32),
+        "weight": np.zeros((T, G), np.float32),
+        "g_idx": np.full((T, G, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T, G, seg_widths[0]), np.float32),
+        "u_idx": np.full((T, G, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T, G, seg_widths[1]), np.float32),
+        "i_idx": np.full((T, G, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T, G, seg_widths[2]), np.float32),
+    }
+    chunk_id = np.zeros(T, np.int32)
+    fb_idx = np.full((C, F), dummy_row, np.int32)
+    fb_val = np.zeros((C, F), np.float32)
+    fb_block = np.full((C, F), G, np.int32)
+    perm = np.zeros(R, np.int64)
+
+    t0 = 0
+    for c, ch in enumerate(chunks):
+        Tc = Tcs[c]
+        chunk_id[t0 : t0 + Tc] = c
+        # dataset-row index grid [Tc, G]: row j of block slot g
+        for g, bi in enumerate(ch):
+            bi = int(bi)
+            n = int(sizes[bi])
+            r0 = int(block_starts[bi])
+            rws = np.arange(r0, r0 + n)
+            t_ix = t0 + np.arange(n)
+            out["label"][t_ix, g] = rows_all.labels[rws]
+            out["weight"][t_ix, g] = 1.0
+            for seg, key in enumerate(["g", "u", "i"]):
+                pi, pv = seg_padded[seg]
+                out[f"{key}_idx"][t_ix, g] = pi[rws]
+                out[f"{key}_val"][t_ix, g] = pv[rws]
+            perm[rws] = t_ix * G + g
+            blk = blocks[bi]
+            nf = blk.num_ufeedback
+            if nf:
+                if num_ufeedback is not None and blk.fb_index.max() >= num_ufeedback:
+                    raise ValueError("ufeedback id exceed bound")
+        # feedback pool
+        f0 = 0
+        for g, bi in enumerate(ch):
+            blk = blocks[int(bi)]
+            nf = blk.num_ufeedback
+            if nf:
+                fb_idx[c, f0 : f0 + nf] = blk.fb_index.astype(np.int64) + off_ufeedback
+                fb_val[c, f0 : f0 + nf] = blk.fb_value
+                fb_block[c, f0 : f0 + nf] = g
+                f0 += nf
+        t0 += Tc
+
+    return PackedPlusBatches(
+        chunk_id=chunk_id,
+        perm=perm,
+        num_blocks_local=G,
+        fb_idx=fb_idx,
+        fb_val=fb_val,
+        fb_block=fb_block,
+        **out,
+    )

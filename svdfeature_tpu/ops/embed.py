@@ -135,6 +135,28 @@ def _scatter_vals(tab, idx, coef):
     return tab.at[idx.reshape(-1)].add(coef.reshape(-1))
 
 
+def _update_global(g, g_idx, g_val, err, lr):
+    """Global-bias update with implicit (proximal) damping.
+
+    Global features can be nearly dense (e.g. the neighborhood demo's
+    popularity buckets appear in ~60% of examples), so a batch sums
+    hundreds of same-direction gradients that the reference's sequential
+    loop would have damped one by one — the plain scatter-add diverges.
+    The implicit-SGD step  dg = lr * S / (1 + lr * sum v^2)  reduces to the
+    plain update at multiplicity 1 (denominator 1+lr*v^2) and to the
+    within-batch least-squares step at high multiplicity — the fixed point
+    sequential SGD approaches within the batch.
+    """
+    n_g = g.shape[0]
+    S = jnp.zeros((n_g,), jnp.float32).at[g_idx.reshape(-1)].add(
+        (err[:, None] * g_val).reshape(-1)
+    )
+    C2 = jnp.zeros((n_g,), jnp.float32).at[g_idx.reshape(-1)].add(
+        (g_val * g_val).reshape(-1)
+    )
+    return g + lr * S / (1.0 + lr * C2)
+
+
 def _touch_counts(n, idx):
     return jnp.zeros((n,), jnp.float32).at[idx.reshape(-1)].add(1.0)
 
@@ -231,7 +253,7 @@ def train_step(
     lr_err = lr * err  # [B]
 
     # --- scatter-add gradient (update_no_decay, apex_svd_base.h:383-427)
-    g = _scatter_vals(g, g_idx, lr_err[:, None] * batch["g_val"])
+    g = _update_global(g, g_idx, batch["g_val"], err, lr)
     coef_u = lr_err[:, None] * batch["u_val"]  # [B, Su]
     coef_i = lr_err[:, None] * batch["i_val"]
     w = _scatter_rows(w, u_idx, coef_u, p_i)

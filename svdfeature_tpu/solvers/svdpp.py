@@ -1,0 +1,95 @@
+"""SVD++ trainer: user-grouped training with implicit feedback.
+
+Re-design of SVDPPFeature (apex_svd_base.h:484-592); see ops/svdpp.py and
+data/batching_plus.py for the batched math and layout.  Extra config key
+``users_per_batch`` (default 128) sets the number of users processed
+simultaneously (one row each per step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching_plus import pack_plus
+from ..data.csr import PlusDataset
+from ..ops.svdpp import predict_batches_plus, train_epoch_plus
+from .base import SVDFeatureTrainer
+
+
+class SVDPPFeatureTrainer(SVDFeatureTrainer):
+    def __init__(self, mtype):
+        super().__init__(mtype)
+        self.users_per_batch = 128
+
+    def set_param(self, name: str, val: str) -> None:
+        if name == "users_per_batch":
+            self.users_per_batch = int(val)
+        super().set_param(name, val)
+
+    def _pack_plus(self, ds: PlusDataset, cache: bool = True):
+        key = id(ds)
+        if not cache or key not in self._pack_cache:
+            m = self.model
+            packed = pack_plus(
+                ds,
+                self.users_per_batch,
+                m.num_rows,
+                m.param.num_global,
+                m.off_user,
+                m.off_item,
+                m.off_ufeedback,
+                feat_user=self.feat_user,
+                feat_item=self.feat_item,
+                num_user=m.param.num_user,
+                num_item=m.param.num_item,
+                num_ufeedback=m.param.num_ufeedback,
+            )
+            entry = (
+                jax.device_put(packed.device_arrays()),
+                jax.device_put(packed.chunk_id),
+                jax.device_put(packed.fb_arrays()),
+                packed.perm,
+            )
+            if not cache:
+                return entry
+            self._pack_cache[key] = entry
+        return self._pack_cache[key]
+
+    def _train_packed(self, entry) -> None:
+        stacked, chunk_id, fb, _ = entry
+        self.state = train_epoch_plus(
+            self.state,
+            stacked,
+            chunk_id,
+            fb,
+            jnp.float32(self.learning_rate),
+            self.consts,
+            self.hp,
+            self.tparam.scale_lr_ufeedback,
+            self.tparam.wd_ufeedback,
+            self.tparam.wd_ufeedback_bias,
+        )
+
+    def update_all(self, ds) -> None:
+        if hasattr(ds, "epoch_dataset"):  # PairSource: fresh pairs per epoch
+            self._train_packed(self._pack_plus(ds.epoch_dataset(), cache=False))
+            return
+        if not isinstance(ds, PlusDataset):
+            return super().update_all(ds)
+        self._train_packed(self._pack_plus(ds))
+
+    def predict_all(self, ds) -> np.ndarray:
+        if hasattr(ds, "epoch_dataset"):
+            entry = self._pack_plus(ds.epoch_dataset(), cache=False)
+        elif isinstance(ds, PlusDataset):
+            entry = self._pack_plus(ds)
+        else:
+            return super().predict_all(ds)
+        stacked, chunk_id, fb, perm = entry
+        preds = np.asarray(
+            predict_batches_plus(self.state_or_model(), stacked, chunk_id, fb, self.hp)
+        ).reshape(-1)
+        # perm maps dataset row -> packed slot (t*G + g)
+        return preds[perm]
