@@ -174,11 +174,12 @@ def load_plus_text(
     while pos + 2 <= n:
         nline, nfb = int(fbtoks[pos]), int(fbtoks[pos + 1])
         pos += 2
+        # note: feedback entries stay in file order — the reference loader
+        # sorts row segments but NOT the feedback vector (apex_svd_data.cpp:
+        # 472-482)
         fb_idx = fbtoks[pos : pos + 2 * nfb : 2].astype(np.uint32)
         fb_val = fbtoks[pos + 1 : pos + 2 * nfb : 2].astype(np.float32)
         pos += 2 * nfb
-        order = np.argsort(fb_idx, kind="stable")
-        fb_idx, fb_val = fb_idx[order], fb_val[order]
         chunks = _split_counts(nline, block_max_line)
         for ci, num in enumerate(chunks):
             if len(chunks) == 1:

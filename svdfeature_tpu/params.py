@@ -45,11 +45,11 @@ class svdranker_tag:
     (apex_svd.h:116-154)."""
 
     ITEM_TAG = 0
-    USER_TAG = 1
-    POS_SAMPLE = 2
-    BAN_SAMPLE = 3
-    SPEC_SAMPLE = 4
-    PROCESS_TAG = 5
+    POS_SAMPLE = 1
+    USER_TAG = 2
+    SPEC_SAMPLE = 3
+    PROCESS_TAG = 4
+    BAN_SAMPLE = -1
 
 
 # ---------------------------------------------------------------------------

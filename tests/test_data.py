@@ -87,10 +87,11 @@ def test_plus_block_splitting():
     assert tags == [1, 3, 2]  # START, MIDDLE, END
     b0, b1, b2 = pd.block(0), pd.block(1), pd.block(2)
     assert [b.data.num_row for b in (b0, b1, b2)] == [3, 2, 2]
-    # feedback rides on START and END, not MIDDLE; sorted by index
-    assert list(b0.fb_index) == [3, 5]
+    # feedback rides on START and END, not MIDDLE; kept in file order
+    # (the reference sorts row segments but not the feedback vector)
+    assert list(b0.fb_index) == [5, 3]
     assert b1.num_ufeedback == 0
-    assert list(b2.fb_index) == [3, 5]
+    assert list(b2.fb_index) == [5, 3]
 
 
 def test_plus_group_by_uid_no_feedback():
