@@ -1,0 +1,206 @@
+"""Multi-IMFB (local implicit feedback) batch packing.
+
+Port of the data layout implied by SVDPPMultiIMFB (solvers/multi-imfb/
+apex_multi_imfb.h:31-194; Yang et al., RecSys'12): blocks push/pop a
+*stack* of feedback contexts via their extend tags —
+
+  DEFAULT: push own feedback, process rows, pop (plain SVD++)
+  START:   push own feedback and keep it on the stack
+  MIDDLE:  process rows under the current stack
+  END:     process rows, then pop
+
+The nesting is flattened at pack time: walking the block sequence with an
+explicit stack assigns every *push* a context id and every block a stack
+snapshot; a row's feedback term is then the sum of its block's active
+contexts' feedback sums.  Rows are packed one-per-block like the SVD++
+layout (chunks of G consecutive blocks), each chunk carrying its own
+context feedback pool with chunk-local context slots and a per-slot depth
+(for ufeedback_disable_level masks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .csr import CSRDataset, PlusDataset, TAG_DEFAULT, TAG_END, TAG_MIDDLE, TAG_START
+from .batching import _pad_segment, _segment_entries, expand_segment
+from ..utils.sparse_feature_array import SparseFeatureArray
+
+
+@dataclasses.dataclass
+class PackedImfbBatches:
+    label: np.ndarray  # [T, G]
+    weight: np.ndarray
+    g_idx: np.ndarray
+    g_val: np.ndarray
+    u_idx: np.ndarray
+    u_val: np.ndarray
+    i_idx: np.ndarray
+    i_val: np.ndarray
+    ctx_slots: np.ndarray  # [T, G, D] chunk-local context slots (pad = M)
+    chunk_id: np.ndarray  # [T]
+    fb_idx: np.ndarray  # [C, F]
+    fb_val: np.ndarray  # [C, F]
+    fb_ctx: np.ndarray  # [C, F] chunk-local context slot (pad = M)
+    ctx_depth: np.ndarray  # [C, M] stack depth of each local context (pad -1)
+    perm: np.ndarray  # [R]
+    num_ctx_local: int  # M
+
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        d = dataclasses.asdict(self)
+        for k in ("perm", "num_ctx_local", "fb_idx", "fb_val", "fb_ctx", "ctx_depth"):
+            d.pop(k)
+        return d
+
+    def fb_arrays(self) -> Dict[str, np.ndarray]:
+        return {
+            "fb_idx": self.fb_idx,
+            "fb_val": self.fb_val,
+            "fb_ctx": self.fb_ctx,
+            "ctx_depth": self.ctx_depth,
+        }
+
+
+def pack_imfb(
+    ds: PlusDataset,
+    units_per_batch: int,
+    num_rows_table: int,
+    num_global: int,
+    off_user: int,
+    off_item: int,
+    off_ufeedback: int,
+    feat_user: Optional[SparseFeatureArray] = None,
+    feat_item: Optional[SparseFeatureArray] = None,
+    num_user: Optional[int] = None,
+    num_item: Optional[int] = None,
+    num_ufeedback: Optional[int] = None,
+) -> PackedImfbBatches:
+    # --- walk the tag-driven stack
+    contexts = []  # (fb_index, fb_value, depth)
+    snapshots: List[List[int]] = []  # per block: active context ids
+    stack: List[int] = []
+    for blk in ds.blocks():
+        t = blk.extend_tag
+        if t in (TAG_DEFAULT, TAG_START):
+            if num_ufeedback is not None and blk.num_ufeedback and blk.fb_index.max() >= num_ufeedback:
+                raise ValueError("ufeedback id exceed bound")
+            contexts.append((blk.fb_index, blk.fb_value, len(stack)))
+            stack.append(len(contexts) - 1)
+        snapshots.append(list(stack))
+        if t in (TAG_DEFAULT, TAG_END):
+            assert stack, "start tag,end tag error in implicit feedback"
+            stack.pop()
+    # units = blocks with rows
+    units = [
+        (bi, snapshots[bi])
+        for bi in range(ds.num_block)
+        if ds.block_row_ptr[bi + 1] > ds.block_row_ptr[bi]
+    ]
+    D = max((len(s) for _, s in units), default=1)
+    G = max(1, min(units_per_batch, len(units)))
+    chunks = [units[i : i + G] for i in range(0, len(units), G)]
+    C = len(chunks)
+
+    # local context slots per chunk
+    chunk_ctx: List[List[int]] = []
+    for ch in chunks:
+        seen = []
+        for _, snap in ch:
+            for c in snap:
+                if c not in seen:
+                    seen.append(c)
+        chunk_ctx.append(seen)
+    M = max((len(c) for c in chunk_ctx), default=1)
+    F = max(
+        (sum(len(contexts[c][0]) for c in cc) for cc in chunk_ctx), default=1
+    )
+    F = max(F, 1)
+
+    rows_all = ds.rows
+    R = rows_all.num_row
+    seg_padded = []
+    seg_widths = []
+    for seg, (feat, scale, off, bound, name) in enumerate(
+        [
+            (None, False, 0, num_global, "global"),
+            (feat_user, False, off_user, num_user, "user"),
+            (feat_item, True, off_item, num_item, "item"),
+        ]
+    ):
+        idx, val, rws = _segment_entries(rows_all, seg)
+        if bound is not None and len(idx) and idx.max() >= bound:
+            raise ValueError(f"{name} feature index exceed bound")
+        idx, val, rws = expand_segment(idx, val, rws, feat, scale)
+        dummy = num_global if seg == 0 else num_rows_table
+        pi, pv = _pad_segment(idx.astype(np.int64) + off, val, rws, R, dummy)
+        seg_padded.append((pi, pv))
+        seg_widths.append(pi.shape[1])
+
+    Tcs = [
+        max(int(ds.block_row_ptr[bi + 1] - ds.block_row_ptr[bi]) for bi, _ in ch)
+        for ch in chunks
+    ]
+    T = sum(Tcs)
+    dummy_row = num_rows_table
+    out = {
+        "label": np.zeros((T, G), np.float32),
+        "weight": np.zeros((T, G), np.float32),
+        "g_idx": np.full((T, G, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T, G, seg_widths[0]), np.float32),
+        "u_idx": np.full((T, G, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T, G, seg_widths[1]), np.float32),
+        "i_idx": np.full((T, G, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T, G, seg_widths[2]), np.float32),
+        "ctx_slots": np.full((T, G, D), M, np.int32),
+    }
+    chunk_id = np.zeros(T, np.int32)
+    fb_idx = np.full((C, F), dummy_row, np.int32)
+    fb_val = np.zeros((C, F), np.float32)
+    fb_ctx = np.full((C, F), M, np.int32)
+    ctx_depth = np.full((C, M), -1, np.int32)
+    perm = np.zeros(R, np.int64)
+
+    t0 = 0
+    for c, ch in enumerate(chunks):
+        Tc = Tcs[c]
+        chunk_id[t0 : t0 + Tc] = c
+        slot_of = {cid: s for s, cid in enumerate(chunk_ctx[c])}
+        f0 = 0
+        for cid, s in slot_of.items():
+            fbi, fbv, depth = contexts[cid]
+            ctx_depth[c, s] = depth
+            nf = len(fbi)
+            if nf:
+                fb_idx[c, f0 : f0 + nf] = fbi.astype(np.int64) + off_ufeedback
+                fb_val[c, f0 : f0 + nf] = fbv
+                fb_ctx[c, f0 : f0 + nf] = s
+                f0 += nf
+        for g, (bi, snap) in enumerate(ch):
+            r0 = int(ds.block_row_ptr[bi])
+            n = int(ds.block_row_ptr[bi + 1]) - r0
+            rws = np.arange(r0, r0 + n)
+            t_ix = t0 + np.arange(n)
+            out["label"][t_ix, g] = rows_all.labels[rws]
+            out["weight"][t_ix, g] = 1.0
+            for seg, key in enumerate(["g", "u", "i"]):
+                pi, pv = seg_padded[seg]
+                out[f"{key}_idx"][t_ix, g] = pi[rws]
+                out[f"{key}_val"][t_ix, g] = pv[rws]
+            for d_, cid in enumerate(snap):
+                out["ctx_slots"][t_ix, g, d_] = slot_of[cid]
+            perm[rws] = t_ix * G + g
+        t0 += Tc
+
+    return PackedImfbBatches(
+        chunk_id=chunk_id,
+        perm=perm,
+        num_ctx_local=M,
+        fb_idx=fb_idx,
+        fb_val=fb_val,
+        fb_ctx=fb_ctx,
+        ctx_depth=ctx_depth,
+        **out,
+    )

@@ -102,11 +102,13 @@ def forward_scores(
     hp: HyperParams,
     p_u_extra: Optional[jax.Array] = None,
     bias_extra: Optional[jax.Array] = None,
+    bias_plugin: Optional[jax.Array] = None,
 ):
     """Raw + activated predictions for a batch.
 
     p_u_extra/bias_extra inject the SVD++ feedback term (prepare_svdpp /
-    get_bias_svdpp, apex_svd_base.h:429-437).
+    get_bias_svdpp, apex_svd_base.h:429-437); bias_plugin injects solver
+    plugin bias (get_bias_plugin :436-438, outside the no_user_bias gate).
     Returns (pred, p_u, p_i).
     """
     p_u = _gather_sum(state.w, batch["u_idx"], batch["u_val"])
@@ -114,6 +116,8 @@ def forward_scores(
     if p_u_extra is not None:
         p_u = p_u + p_u_extra
     score = hp.base_score + _gather_sum(state.g, batch["g_idx"], batch["g_val"])
+    if bias_plugin is not None:
+        score = score + bias_plugin
     score = score + _gather_sum(state.b, batch["i_idx"], batch["i_val"])
     if not hp.no_user_bias:
         score = score + _gather_sum(state.b, batch["u_idx"], batch["u_val"])

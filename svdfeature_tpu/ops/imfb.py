@@ -1,0 +1,178 @@
+"""Multi-IMFB train epoch (extend_type=2): stacked local implicit feedback.
+
+Port of SVDPPMultiIMFB (solvers/multi-imfb/apex_multi_imfb.h:31-194):
+a row's feedback term is the SUM of its block's active contexts' feedback
+sums (prepare_svdpp :66-75); per row every non-disabled active context's
+tmp accumulates lr_fb * err * norm_ctx * p_i and decays by d
+(update_svdpp :83-94); each context's delta is written back /norm when it
+pops (update_ufeedback :134-148).  Batched like the SVD++ step: one row
+per block per batch, fresh per-batch context aggregates, incremental
+writeback (the sum of per-row deltas equals the pop-time delta).
+``disable_level`` masks contexts by stack depth (:54-63).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses
+from .embed import (
+    HyperParams,
+    TrainConsts,
+    TrainState,
+    _apply_factor_reg,
+    _scatter_rows,
+    _scatter_vals,
+    _soft_threshold,
+    _touch_counts,
+    _update_global,
+    forward_scores,
+)
+
+
+def _ctx_aggregates(w, b, cfb, nseg: int, with_bias: bool):
+    rows = w[cfb["fb_idx"]] * cfb["fb_val"][:, None]
+    fb_sum = jax.ops.segment_sum(rows, cfb["fb_ctx"], num_segments=nseg)
+    norm = jax.ops.segment_sum(
+        cfb["fb_val"] * cfb["fb_val"], cfb["fb_ctx"], num_segments=nseg
+    )
+    if with_bias:
+        fb_bias = jax.ops.segment_sum(
+            b[cfb["fb_idx"]] * cfb["fb_val"], cfb["fb_ctx"], num_segments=nseg
+        )
+    else:
+        fb_bias = jnp.zeros((nseg,), jnp.float32)
+    return fb_sum, norm, fb_bias
+
+
+def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
+    lr_fb, d, db = fb_hyper
+    w, b, g = state.w, state.b, state.g
+    n_ui, n_g = w.shape[0], g.shape[0]
+    u_idx, i_idx, g_idx = batch["u_idx"], batch["i_idx"], batch["g_idx"]
+    ctx = batch["ctx_slots"]  # [G, D]
+    with_bias = not hp.no_user_bias
+    M = enabled.shape[0] - 1  # local context count
+    nseg = M + 1
+
+    fb_sum, norm, fb_bias = _ctx_aggregates(w, b, cfb, nseg, with_bias)
+
+    cu = _touch_counts(n_ui, u_idx)
+    ci = _touch_counts(n_ui, i_idx)
+    cg = _touch_counts(n_g, g_idx)
+
+    p_u_extra = fb_sum[ctx].sum(axis=1)  # [G, k]
+    bias_extra = fb_bias[ctx].sum(axis=1) if with_bias else None
+    pred, p_u, p_i = forward_scores(state, batch, hp, p_u_extra, bias_extra)
+    err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+    lr_err = lr * err
+
+    g = _update_global(g, g_idx, batch["g_val"], err, lr)
+    coef_u = lr_err[:, None] * batch["u_val"]
+    coef_i = lr_err[:, None] * batch["i_val"]
+    w = _scatter_rows(w, u_idx, coef_u, p_i)
+    w = _scatter_rows(w, i_idx, coef_i, p_u)
+    b = _scatter_vals(b, i_idx, coef_i)
+    if with_bias:
+        b = _scatter_vals(b, u_idx, coef_u)
+
+    # per-context accumulation over this batch's rows
+    G, D = ctx.shape
+    k = w.shape[1]
+    flat_ctx = ctx.reshape(-1)
+    S = jnp.zeros((nseg, k)).at[flat_ctx].add(
+        jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(G * D, k)
+    )
+    nrow = jnp.zeros((nseg,)).at[flat_ctx].add(
+        jnp.repeat(batch["weight"], D)
+    )
+    gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
+    inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+    dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
+    delta = dtmp * (inv_norm * gate)[:, None]
+    w = w.at[cfb["fb_idx"]].add(delta[cfb["fb_ctx"]] * cfb["fb_val"][:, None])
+    if with_bias:
+        S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+        dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
+        delta_b = dtmp_b * inv_norm * gate
+        b = b.at[cfb["fb_idx"]].add(delta_b[cfb["fb_ctx"]] * cfb["fb_val"])
+
+    if hp.reg_method < 4:
+        w = _apply_factor_reg(w, cu, ci, lr, consts, hp)
+    if hp.reg_global < 4:
+        if hp.reg_global == 0:
+            g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+        elif hp.reg_global == 1:
+            g = _soft_threshold(g, lr * consts.wd_g_row * cg)
+        else:
+            raise ValueError(f"unknown global decay method {hp.reg_global}")
+    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+    if with_bias:
+        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+    b = b * fac_b
+
+    w = w.at[-1].set(0.0)
+    b = b.at[-1].set(0.0)
+    g = g.at[-1].set(0.0)
+    nstep = state.step + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
+    return TrainState(
+        w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+    )
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_epoch_imfb(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    disable_mask,  # [C, M+1] 1.0 = enabled
+    lr,
+    consts: TrainConsts,
+    hp: HyperParams,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+):
+    lr_fb = lr * scale_lr_ufeedback
+    d = 1.0 - lr_fb * wd_ufeedback
+    db = 1.0 - lr_fb * wd_ufeedback_bias
+
+    def body(st, xs):
+        batch, cid = xs
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        st = _imfb_step(
+            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db)
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (stacked, chunk_id))
+    return state
+
+
+@partial(jax.jit, static_argnames=("hp",))
+def predict_batches_imfb(state: TrainState, stacked, chunk_id, fb, hp: HyperParams):
+    with_bias = not hp.no_user_bias
+
+    def body(_, xs):
+        batch, cid = xs
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        ctx = batch["ctx_slots"]
+        M = int(fb["ctx_depth"].shape[1]) if hasattr(fb["ctx_depth"], "shape") else 0
+        nseg = fb["ctx_depth"].shape[1] + 1
+        fb_sum, _, fb_bias = _ctx_aggregates(state.w, state.b, cfb, nseg, with_bias)
+        pred, _, _ = forward_scores(
+            state,
+            batch,
+            hp,
+            fb_sum[ctx].sum(axis=1),
+            fb_bias[ctx].sum(axis=1) if with_bias else None,
+        )
+        return None, pred
+
+    _, preds = jax.lax.scan(body, None, (stacked, chunk_id))
+    return preds

@@ -64,7 +64,10 @@ def _fb_aggregates(w, b, cfb, nseg: int, with_bias: bool):
     return fb_sum, norm, fb_bias
 
 
-def _plus_step(state, batch, cfb, lr, consts, hp, fb_hyper):
+def _plus_step(
+    state, batch, cfb, lr, consts, hp, fb_hyper,
+    bias_plugin=None, return_err=False,
+):
     """One batch (one row per user) with fresh feedback + direct writeback."""
     lr_fb, d, db = fb_hyper
     w, b, g = state.w, state.b, state.g
@@ -83,7 +86,9 @@ def _plus_step(state, batch, cfb, lr, consts, hp, fb_hyper):
 
     p_u_extra = fb_sum[slot]
     bias_extra = fb_bias[slot] if with_bias else None
-    pred, p_u, p_i = forward_scores(state, batch, hp, p_u_extra, bias_extra)
+    pred, p_u, p_i = forward_scores(
+        state, batch, hp, p_u_extra, bias_extra, bias_plugin
+    )
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
     lr_err = lr * err
 
@@ -137,9 +142,12 @@ def _plus_step(state, batch, cfb, lr, consts, hp, fb_hyper):
     b = b.at[-1].set(0.0)
     g = g.at[-1].set(0.0)
     nstep = state.step + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
-    return TrainState(
+    new_state = TrainState(
         w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
     )
+    if return_err:
+        return new_state, err
+    return new_state
 
 
 @partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))

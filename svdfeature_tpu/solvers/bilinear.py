@@ -1,0 +1,190 @@
+"""Bilinear solver (extend_type=15): per-item x user-property interactions.
+
+Re-design of SVDBiLinearTrainer (solvers/bilinear/apex_svd_bilinear.h:
+28-212) on top of the SVD++ stack: a dense matrix W_bi[item, bi_feedback]
+adds  sum_items sum_props W_bi[iid, pid] * ival * pval  to the score,
+where the user properties are the block's feedback entries with
+id < num_bi_feedback, and the feedback *factor* sum starts at
+start_ufeedback (prepare_ufeedback's start_fid filter, :170-181).
+
+Note the reference quirk (SURVEY.md §2.1 #10): its prepare/update_ufeedback
+overrides are declared virtual on a non-virtual base, so calls from the
+inherited update() bind statically.  In the shipped binary the start_fid
+filter therefore never applies on the main update path; we implement the
+*intended* behavior (filter applied), which only differs when
+start_ufeedback > 0.
+
+Checkpoint layout appends BParam (136 bytes) + W_bi after the SVDModel
+section (apex_svd_bilinear.h:63-72).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching_plus import pack_plus
+from ..data.csr import PlusDataset
+from ..model import _read_t2d, _write_t2d
+from ..ops.svdpp_bilinear import predict_batches_bi, train_epoch_bi
+from .svdpp import SVDPPFeatureTrainer
+
+
+class BParam:
+    NBYTES = 4 * (2 + 32)
+
+    def __init__(self) -> None:
+        self.num_bi_feedback = 0
+        self.start_ufeedback = 0
+
+    def set_param(self, name: str, val: str) -> None:
+        if name == "num_bi_feedback":
+            self.num_bi_feedback = int(val)
+        if name == "start_ufeedback":
+            self.start_ufeedback = int(val)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<ii", self.num_bi_feedback, self.start_ufeedback) + b"\0" * 128
+
+    def load(self, f: BinaryIO) -> None:
+        raw = f.read(self.NBYTES)
+        self.num_bi_feedback, self.start_ufeedback = struct.unpack("<ii", raw[:8])
+
+
+class SVDBiLinearTrainer(SVDPPFeatureTrainer):
+    def __init__(self, mtype):
+        super().__init__(mtype)
+        self.bparam = BParam()
+        self.reg_bi_feedback = 0
+        self.wd_bi_feedback = 0.0
+        self.slr_bi_feedback = 1.0
+        self.W_bi = None  # [num_item, num_bi_feedback]
+        self._bi_allocated = False
+
+    def set_param(self, name: str, val: str) -> None:
+        super().set_param(name, val)
+        if name == "reg_bi_feedback":
+            self.reg_bi_feedback = int(val)
+        if name == "slr_bi_feedback":
+            self.slr_bi_feedback = float(val)
+        if name == "wd_bi_feedback":
+            self.wd_bi_feedback = float(val)
+        if not self._bi_allocated:
+            self.bparam.set_param(name, val)
+
+    # ---- model lifecycle ----------------------------------------------------
+    def init_model(self) -> None:
+        super().init_model()
+        self.W_bi = jnp.zeros(
+            (self.mparam.num_item, self.bparam.num_bi_feedback), jnp.float32
+        )
+        self._bi_allocated = True
+
+    def load_model(self, f: BinaryIO) -> None:
+        super().load_model(f)
+        self.bparam.load(f)
+        self.W_bi = jnp.asarray(_read_t2d(f))
+        self._bi_allocated = True
+
+    def save_model(self, f: BinaryIO) -> None:
+        super().save_model(f)
+        f.write(self.bparam.to_bytes())
+        _write_t2d(f, np.asarray(self.W_bi))
+
+    # ---- packing: user-property matrix + filtered feedback pool -------------
+    def _pack_plus(self, ds: PlusDataset, cache: bool = True):
+        key = (id(ds), "bi")
+        if not cache or key not in self._pack_cache:
+            m = self.model
+            packed = pack_plus(
+                ds,
+                self.users_per_batch,
+                m.num_rows,
+                m.param.num_global,
+                m.off_user,
+                m.off_item,
+                m.off_ufeedback,
+                feat_user=self.feat_user,
+                feat_item=self.feat_item,
+                num_user=m.param.num_user,
+                num_item=m.param.num_item,
+                num_ufeedback=m.param.num_ufeedback,
+            )
+            fb = packed.fb_arrays()
+            # start_ufeedback filter for the factor path: zero the values of
+            # filtered entries (they stay in the pool but contribute nothing
+            # and receive no writeback since delta scales by their value)
+            start = self.bparam.start_ufeedback
+            if start > 0:
+                local = fb["fb_idx"] - m.off_ufeedback
+                keep = local >= start
+                fb = dict(fb, fb_val=np.where(keep, fb["fb_val"], 0.0).astype(np.float32))
+            # dense user-property matrix per chunk slot: up[c, g, pid]
+            nbf = self.bparam.num_bi_feedback
+            C, F = packed.fb_idx.shape
+            G = packed.num_blocks_local
+            up = np.zeros((C, G + 1, nbf), np.float32)
+            raw = packed.fb_arrays()
+            local = raw["fb_idx"].astype(np.int64) - m.off_ufeedback
+            for c in range(C):
+                mask = (local[c] >= 0) & (local[c] < nbf) & (raw["fb_block"][c] < G)
+                if mask.any():
+                    up[c, raw["fb_block"][c][mask], local[c][mask]] = raw["fb_val"][c][mask]
+            entry = (
+                jax.device_put(packed.device_arrays()),
+                jax.device_put(packed.chunk_id),
+                jax.device_put(fb),
+                packed.perm,
+                jax.device_put(up),
+            )
+            if not cache:
+                return entry
+            self._pack_cache[key] = entry
+        return self._pack_cache[key]
+
+    def _train_packed(self, entry) -> None:
+        stacked, chunk_id, fb, _, up = entry
+        self.state, self.W_bi = train_epoch_bi(
+            self.state,
+            self.W_bi,
+            stacked,
+            chunk_id,
+            fb,
+            up,
+            jnp.float32(self.learning_rate),
+            self.consts,
+            self.hp,
+            self.tparam.scale_lr_ufeedback,
+            self.tparam.wd_ufeedback,
+            self.tparam.wd_ufeedback_bias,
+            self.slr_bi_feedback,
+            self.wd_bi_feedback,
+            self.reg_bi_feedback,
+            self.model.off_item,
+        )
+
+    def predict_all(self, ds) -> np.ndarray:
+        if hasattr(ds, "epoch_dataset"):
+            entry = self._pack_plus(ds.epoch_dataset(), cache=False)
+        elif isinstance(ds, PlusDataset):
+            entry = self._pack_plus(ds)
+        else:
+            return super(SVDPPFeatureTrainer, self).predict_all(ds)
+        stacked, chunk_id, fb, perm, up = entry
+        preds = np.asarray(
+            predict_batches_bi(
+                self.state_or_model(),
+                self.W_bi,
+                stacked,
+                chunk_id,
+                fb,
+                up,
+                self.hp,
+                self.model.off_item,
+            )
+        ).reshape(-1)
+        return preds[perm]
