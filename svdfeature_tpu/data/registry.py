@@ -99,15 +99,15 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
 
         return FilteredPlusSource(
             load_plus_source(dtype % 100, cfg), cfg.filter_ufeedback, cfg.filter_global
-        )
+        ).materialize()
     if dtype >= 100 and dtype < 200:
         from .combinators import AttachedPlusSource
 
         acfg = IteratorConfig()
         # primary params apply to both; attach: keys override the attached
         for k, v in vars(cfg).items():
-            if k not in ("attach",):
-                setattr(acfg, k, v)
+            if k != "attach":
+                setattr(acfg, k, list(v) if isinstance(v, list) else v)
         for k, v in cfg.attach.items():
             acfg.set_param(k, v)
         return AttachedPlusSource(
@@ -115,7 +115,7 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
             load_plus_source(dtype % 10, acfg),
             cfg.attach_skip,
             cfg.attach_insert,
-        )
+        ).materialize()
     if dtype == it.BINARY_BUFFER:
         path = cfg.buffer_feature or "svdplusfeature_buf"
         if not os.path.exists(path):

@@ -1,1 +1,2 @@
-from .sparse_feature_array import SparseFeatureArray
+from .sparse_feature_array import SparseFeatureArray, RunQueue
+from .evaluator import EvaluatorMAP

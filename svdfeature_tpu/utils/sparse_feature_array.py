@@ -96,3 +96,39 @@ class SparseFeatureArray:
         if scale_by_parent:
             ext_val = ext_val * parent_val[rep]
         return ext_idx, ext_val, parent_row[rep]
+
+
+class RunQueue:
+    """Ring-buffer dedup work queue (apex-utils/apex_utils.h:91-121).
+
+    Unused by the reference's main path (reserved for schedulers); ported
+    for inventory completeness.
+    """
+
+    def __init__(self, max_size: int):
+        self._buf = [None] * (max_size + 1)
+        self._head = 0
+        self._tail = 0
+        self._members = set()
+
+    def empty(self) -> bool:
+        return self._head == self._tail
+
+    def put(self, item) -> bool:
+        if item in self._members:
+            return False
+        nxt = (self._tail + 1) % len(self._buf)
+        if nxt == self._head:
+            return False  # full
+        self._buf[self._tail] = item
+        self._tail = nxt
+        self._members.add(item)
+        return True
+
+    def get(self):
+        if self.empty():
+            return None
+        item = self._buf[self._head]
+        self._head = (self._head + 1) % len(self._buf)
+        self._members.discard(item)
+        return item
