@@ -59,15 +59,15 @@ def main() -> None:
         return tr
 
     ROUNDS = 40
-    tr = make_trainer(1024)
-    # warmup/compile
-    tr.update_all(train_ds)
-    jax.block_until_ready(tr.state.w)
-    tr = make_trainer(1024)
+    tr = make_trainer(4096)
+    # warmup/compile with the same schedule shape as the timed run
+    tr.update_rounds(train_ds, ROUNDS)
+    _ = int(tr.state.step)  # value fetch: block_until_ready does not
+    # reliably synchronize under the axon remote-TPU backend
+    tr = make_trainer(4096)
     t0 = time.time()
-    for _ in range(ROUNDS):
-        tr.update_all(train_ds)
-    jax.block_until_ready(tr.state.w)
+    tr.update_rounds(train_ds, ROUNDS)
+    _ = int(tr.state.step)
     dt = time.time() - t0
     eps = ROUNDS * train_ds.num_row / dt
 

@@ -92,7 +92,15 @@ def parse_feature_stream(
 
 
 def load_feature_text(path: str, scale_score: float = 1.0, text: Optional[str] = None) -> CSRDataset:
-    arr = _numeric_tokens(text if text is not None else open(path).read())
+    if text is None:
+        text = open(path).read()
+    from . import native
+
+    out = native.parse_feature_text(text, scale_score)
+    if out is not None:
+        labels, row_ptr, index, value = out
+        return CSRDataset(labels=labels, row_ptr=row_ptr, index=index, value=value)
+    arr = _numeric_tokens(text)
     return parse_feature_stream(arr, scale_score)
 
 
@@ -165,21 +173,42 @@ def load_plus_text(
     if feedback_path is None and feedback_text is None:
         return _group_by_uid(ds, block_max_line)
 
-    fbtoks = _numeric_tokens(
-        feedback_text if feedback_text is not None else open(feedback_path).read()
-    )
+    fbtext = feedback_text if feedback_text is not None else open(feedback_path).read()
+    from . import native
+
+    nat = native.parse_feedback_text(fbtext)
+    if nat is not None:
+        nlines, fb_counts, fb_index_all, fb_value_all = nat
+        fb_ptr = np.concatenate(([0], np.cumsum(fb_counts.astype(np.int64))))
+        records = [
+            (
+                int(nlines[r]),
+                fb_index_all[fb_ptr[r] : fb_ptr[r + 1]],
+                fb_value_all[fb_ptr[r] : fb_ptr[r + 1]],
+            )
+            for r in range(len(nlines))
+        ]
+    else:
+        fbtoks = _numeric_tokens(fbtext)
+        records = []
+        pos, n = 0, len(fbtoks)
+        while pos + 2 <= n:
+            nline, nfb = int(fbtoks[pos]), int(fbtoks[pos + 1])
+            pos += 2
+            # note: feedback entries stay in file order — the reference
+            # loader sorts row segments but NOT the feedback vector
+            # (apex_svd_data.cpp:472-482)
+            records.append(
+                (
+                    nline,
+                    fbtoks[pos : pos + 2 * nfb : 2].astype(np.uint32),
+                    fbtoks[pos + 1 : pos + 2 * nfb : 2].astype(np.float32),
+                )
+            )
+            pos += 2 * nfb
     blocks: List[PlusBlock] = []
-    pos, n = 0, len(fbtoks)
     row_cursor = 0
-    while pos + 2 <= n:
-        nline, nfb = int(fbtoks[pos]), int(fbtoks[pos + 1])
-        pos += 2
-        # note: feedback entries stay in file order — the reference loader
-        # sorts row segments but NOT the feedback vector (apex_svd_data.cpp:
-        # 472-482)
-        fb_idx = fbtoks[pos : pos + 2 * nfb : 2].astype(np.uint32)
-        fb_val = fbtoks[pos + 1 : pos + 2 * nfb : 2].astype(np.float32)
-        pos += 2 * nfb
+    for nline, fb_idx, fb_val in records:
         chunks = _split_counts(nline, block_max_line)
         for ci, num in enumerate(chunks):
             if len(chunks) == 1:

@@ -88,8 +88,36 @@ class TrainState:
     ref_g: jax.Array  # [G+1] i32
 
 
+def _use_onehot(n: int) -> bool:
+    """One-hot matmul path: only worthwhile where XLA scatters serialize
+    (TPU); CPU scatters are fast and the dense one-hot would slow it down."""
+    return n <= ONEHOT_THRESHOLD and jax.default_backend() != "cpu"
+
+
 def _gather_sum(tab: jax.Array, idx: jax.Array, val: jax.Array) -> jax.Array:
-    """sum_s val[b,s] * tab[idx[b,s]] -> [B, k]  (tab 2D) or [B] (tab 1D)."""
+    """sum_s val[b,s] * tab[idx[b,s]] -> [B, k]  (tab 2D) or [B] (tab 1D).
+
+    Small tables use the one-hot matmul form (MXU) — XLA CSE shares the
+    one-hot operand with the scatter side of the step."""
+    n = tab.shape[0]
+    if _use_onehot(n):
+        if idx.shape[1] == 1:
+            E = _onehot(idx[:, 0], n)
+            if tab.ndim == 2:
+                rows = jnp.einsum(
+                    "bn,nk->bk", E, tab,
+                    preferred_element_type=jnp.float32,
+                )
+                return val[:, 0, None] * rows
+            return val[:, 0] * jnp.einsum(
+                "bn,n->b", E, tab, preferred_element_type=jnp.float32
+            )
+        M = _onehot_weighted(idx, val, n)  # [B, n]
+        if tab.ndim == 2:
+            return jnp.einsum(
+                "bn,nk->bk", M, tab, precision=jax.lax.Precision.HIGHEST
+            )
+        return jnp.einsum("bn,n->b", M, tab, precision=jax.lax.Precision.HIGHEST)
     rows = tab[idx]  # [B, S, k] or [B, S]
     if tab.ndim == 2:
         return jnp.einsum("bs,bsk->bk", val, rows)
@@ -130,12 +158,33 @@ def forward_scores(
 
 def _scatter_rows(tab, idx, coef, vecs):
     """tab[idx[b,s]] += coef[b,s] * vecs[b]  (2D tab)."""
+    n = tab.shape[0]
+    if _use_onehot(n):
+        if idx.shape[1] == 1:
+            E = _onehot(idx[:, 0], n)
+            return tab + jnp.einsum(
+                "bn,bk->nk", E, coef[:, 0, None] * vecs,
+                preferred_element_type=jnp.float32,
+            )
+        M = _onehot_weighted(idx, coef, n)  # [B, n]
+        return tab + jnp.einsum(
+            "bn,bk->nk", M, vecs, precision=jax.lax.Precision.HIGHEST
+        )
     B, S = idx.shape
     upd = coef[..., None] * vecs[:, None, :]  # [B, S, k]
     return tab.at[idx.reshape(-1)].add(upd.reshape(B * S, -1))
 
 
 def _scatter_vals(tab, idx, coef):
+    n = tab.shape[0]
+    if _use_onehot(n):
+        if idx.shape[1] == 1:
+            E = _onehot(idx[:, 0], n)
+            return tab + jnp.einsum(
+                "bn,b->n", E, coef[:, 0], preferred_element_type=jnp.float32
+            )
+        M = _onehot_weighted(idx, coef, n)  # [B, n]
+        return tab + M.sum(axis=0)
     return tab.at[idx.reshape(-1)].add(coef.reshape(-1))
 
 
@@ -162,7 +211,85 @@ def _update_global(g, g_idx, g_val, err, lr):
 
 
 def _touch_counts(n, idx):
+    if _use_onehot(n):
+        if idx.shape[1] == 1:
+            return _onehot(idx[:, 0], n).astype(jnp.float32).sum(axis=0)
+        ones = jnp.ones(idx.shape, jnp.float32)
+        return _onehot_weighted(idx, ones, n).sum(axis=0)
     return jnp.zeros((n,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+
+
+# Above this row count the per-step decay switches from a dense O(N*k)
+# multiply to the sparse touched-rows-only path (identical math).
+SPARSE_DECAY_THRESHOLD = 1 << 18
+
+# Up to this table size, gathers and scatter-adds are executed as one-hot
+# matmuls on the MXU instead of XLA scatters (which serialize on TPU and
+# dominate the step).  [B, N] one-hot operands stay comfortably in VMEM.
+ONEHOT_THRESHOLD = 1 << 13
+
+
+def _onehot(idx2d, n):
+    """Unweighted one-hot [B, n] of a [B] index column; identical
+    subexpressions are CSE-shared across the gather/scatter/count uses of
+    a step.  bf16 is exact for 0/1 and halves the HBM traffic."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return (idx2d[:, None] == iota).astype(jnp.bfloat16)
+
+
+def _onehot_weighted(idx, val, n):
+    """[B, n] matrix M with M[b, r] = sum_s val[b,s] * [idx[b,s] == r]."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    eq = (idx[:, :, None] == iota).astype(jnp.float32)  # [B, S, n]
+    return jnp.einsum("bsn,bs->bn", eq, val)
+
+
+def _onehot_counts(idx, n):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    eq = (idx[:, :, None] == iota).astype(jnp.float32)
+    return eq.sum(axis=(0, 1)), eq.sum(axis=1)  # [n] counts, [B, n] indicator
+
+
+def _sparse_decay_rows(w, idx, counts, wd_row, lr, l1: bool):
+    """Apply (1-lr*wd)^c decay (or L1 soft-threshold with lr*wd*c) to
+    exactly the rows touched by ``idx``, via gather -> delta/c -> scatter.
+
+    Each of a row's c occurrences contributes delta/c, so duplicates sum to
+    the exact closed form; rows with wd=0 (incl. the dummy) get delta 0.
+    """
+    flat = idx.reshape(-1)
+    c = counts[flat]  # >= 1 for every appearing entry
+    rows = w[flat]  # post-update values
+    lam = (lr * wd_row[flat])[:, None] if w.ndim == 2 else lr * wd_row[flat]
+    if w.ndim == 2:
+        cb = c[:, None]
+        if l1:
+            new = jnp.sign(rows) * jnp.maximum(jnp.abs(rows) - lam * cb, 0.0)
+        else:
+            new = rows * jnp.power(1.0 - lam, cb)
+        return w.at[flat].add((new - rows) / cb)
+    if l1:
+        new = jnp.sign(rows) * jnp.maximum(jnp.abs(rows) - lam * c, 0.0)
+    else:
+        new = rows * jnp.power(1.0 - lam, c)
+    return w.at[flat].add((new - rows) / c)
+
+
+def _sparse_decay_scalar(b, idx, counts, wd_scalar, lr):
+    """Scalar-rate L2 decay on touched entries of a 1-D table."""
+    flat = idx.reshape(-1)
+    c = counts[flat]
+    rows = b[flat]
+    new = rows * jnp.power(1.0 - lr * wd_scalar, c)
+    return b.at[flat].add((new - rows) / c)
+
+
+def _sparse_clamp_nonneg(w, idx, counts):
+    """max(w, 0) on touched rows via delta/c scatter."""
+    flat = idx.reshape(-1)
+    c = counts[flat][:, None]
+    rows = w[flat]
+    return w.at[flat].add((jnp.maximum(rows, 0.0) - rows) / c)
 
 
 def _soft_threshold(w, lam):
@@ -171,10 +298,25 @@ def _soft_threshold(w, lam):
 
 
 def _apply_factor_reg(
-    w, cu, ci, lr, consts: TrainConsts, hp: HyperParams
+    w, cu, ci, lr, consts: TrainConsts, hp: HyperParams, uidx=None, iidx=None
 ):
-    """Eager latent-factor regularization (reg_method 0-3) on touched rows."""
+    """Eager latent-factor regularization (reg_method 0-3) on touched rows.
+
+    When the table is large and the touching index arrays are provided,
+    modes 0/1 use the sparse touched-rows path (u-decay then i-decay
+    sequentially — exact for rows in both segments too, since the second
+    gather sees the first application).
+    """
     m = hp.reg_method
+    sparse = (
+        w.shape[0] > SPARSE_DECAY_THRESHOLD
+        and uidx is not None
+        and m in (0, 1)
+    )
+    if sparse:
+        w = _sparse_decay_rows(w, uidx, cu, consts.wd_u_row, lr, l1=(m == 1))
+        w = _sparse_decay_rows(w, iidx, ci, consts.wd_i_row, lr, l1=(m == 1))
+        return w
     lam_u = lr * consts.wd_u_row
     lam_i = lr * consts.wd_i_row
     if m == 0:
@@ -267,8 +409,9 @@ def train_step(
         b = _scatter_vals(b, u_idx, coef_u)
 
     # --- eager regularization (regularize(post)); multiplicity-compounded
+    big = n_ui > SPARSE_DECAY_THRESHOLD
     if hp.reg_method < 4:
-        w = _apply_factor_reg(w, cu, ci, lr, consts, hp)
+        w = _apply_factor_reg(w, cu, ci, lr, consts, hp, u_idx, i_idx)
     if hp.reg_global < 4:
         if hp.reg_global == 0:
             g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
@@ -278,16 +421,25 @@ def train_step(
             raise ValueError(f"unknown global decay method {hp.reg_global}")
 
     # bias decay: always plain L2 per touch (apex_svd_base.h:246-249, 281-283)
-    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
-    if not hp.no_user_bias:
-        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
-    b = b * fac_b
+    if big:
+        b = _sparse_decay_scalar(b, i_idx, ci, consts.wd_item_bias, lr)
+        if not hp.no_user_bias:
+            b = _sparse_decay_scalar(b, u_idx, cu, consts.wd_user_bias, lr)
+    else:
+        fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+        if not hp.no_user_bias:
+            fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+        b = b * fac_b
 
     # nonnegativity clamp on touched rows (apex_svd_base.h:242-245)
     if hp.user_nonnegative:
-        w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+        w = _sparse_clamp_nonneg(w, u_idx, cu) if big else jnp.where(
+            (cu > 0)[:, None], jnp.maximum(w, 0.0), w
+        )
     if hp.item_nonnegative:
-        w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+        w = _sparse_clamp_nonneg(w, i_idx, ci) if big else jnp.where(
+            (ci > 0)[:, None], jnp.maximum(w, 0.0), w
+        )
 
     # keep dummy rows clean (padding targets)
     w = w.at[-1].set(0.0)
@@ -317,6 +469,30 @@ def train_epoch(
         return train_step.__wrapped__(st, batch, lr, consts, hp), None
 
     state, _ = jax.lax.scan(body, state, stacked)
+    return state
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_rounds(
+    state: TrainState,
+    stacked,
+    lrs: jax.Array,  # [R] per-round learning rates
+    consts: TrainConsts,
+    hp: HyperParams,
+) -> TrainState:
+    """Run multiple full rounds in ONE device dispatch: an outer scan over
+    the per-round learning-rate schedule, an inner scan over the epoch's
+    batches.  Removes all host round-trips from multi-round training
+    (under the remote-TPU tunnel each dispatch costs more than an epoch)."""
+
+    def round_body(st, lr):
+        def body(s, batch):
+            return train_step.__wrapped__(s, batch, lr, consts, hp), None
+
+        st, _ = jax.lax.scan(body, st, stacked)
+        return st, None
+
+    state, _ = jax.lax.scan(round_body, state, lrs)
     return state
 
 
