@@ -8,6 +8,7 @@ round, with a progress/throughput line per round.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -36,6 +37,11 @@ class SVDTrainTask:
         self.input_type = input_type.BINARY_BUFFER
         self.trainer = None
         self.dataset = None
+        # observability (SURVEY.md §5): structured per-round log, profiler
+        # trace capture, and runtime sanity checks
+        self.log_jsonl: Optional[str] = None
+        self.profile_dir: Optional[str] = None
+        self.debug_checks = 0
 
     def set_param_inner(self, name: str, val: str) -> None:
         if name == "task":
@@ -60,6 +66,12 @@ class SVDTrainTask:
             self.print_ratio = float(val)
         if name == "input_type":
             self.input_type = int(val)
+        if name == "log_jsonl":
+            self.log_jsonl = val
+        if name == "profile_dir":
+            self.profile_dir = val
+        if name == "debug_checks":
+            self.debug_checks = int(val)
         self.mtype.set_param(name, val)
 
     def configure(self, conf_path: str, cli_args: List[str]) -> None:
@@ -141,13 +153,30 @@ class SVDTrainTask:
             self.save_model()
         cc = self.max_round
         total_examples = 0
+        log_f = open(self.log_jsonl, "a") if self.log_jsonl else None
+        profiling = False
         while self.start_counter <= self.num_round and cc > 0:
             cc -= 1
             r = self.start_counter - 1
+            if self.profile_dir and not profiling:
+                import jax
+
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             self.trainer.set_round(r)
+            round_t0 = time.time()
             for _ in range(self.train_repeat):
                 self.trainer.update_all(self.dataset)
                 self.trainer.finish_round()
+            if profiling:
+                import jax
+
+                if getattr(self.trainer, "state", None) is not None:
+                    jax.block_until_ready(self.trainer.state.w)
+                jax.profiler.stop_trace()
+                profiling = False
+            if self.debug_checks:
+                self._check_state(r)
             total_examples += self._dataset_rows() * self.train_repeat
             elapsed = time.time() - start
             if not self.silent:
@@ -157,9 +186,43 @@ class SVDTrainTask:
                     f"{eps:,.0f} examples/sec"
                 )
                 sys.stdout.flush()
+            if log_f:
+                log_f.write(
+                    json.dumps(
+                        dict(
+                            round=r,
+                            elapsed_s=round(elapsed, 3),
+                            round_s=round(time.time() - round_t0, 3),
+                            examples=total_examples,
+                            learning_rate=getattr(
+                                self.trainer, "learning_rate", None
+                            ),
+                        )
+                    )
+                    + "\n"
+                )
+                log_f.flush()
             self.save_model()
+        if log_f:
+            log_f.close()
         if not self.silent:
             print(f"updating end, {time.time()-start:.1f} sec in all")
+
+    def _check_state(self, r: int) -> None:
+        """debug_checks=1: verify parameters stay finite after each round
+        (the device-side analogue of the reference's assert_true bound
+        checks; index bounds are validated at pack time)."""
+        import numpy as np
+
+        st = getattr(self.trainer, "state", None)
+        if st is None:
+            return
+        for name in ("w", "b", "g"):
+            arr = np.asarray(getattr(st, name))
+            if not np.isfinite(arr).all():
+                raise FloatingPointError(
+                    f"non-finite values in model.{name} after round {r}"
+                )
 
     def _dataset_rows(self) -> int:
         ds = self.dataset
