@@ -472,6 +472,113 @@ def train_epoch(
     return state
 
 
+@partial(jax.jit, static_argnames=("n",))
+def build_onehots(u_idx, i_idx, n: int):
+    """Precompute bf16 one-hot operands [T, B, n] for a whole epoch.
+
+    Experimental: measured SLOWER than the on-the-fly one-hot path on v5e
+    (mixed bf16xf32 einsums materialize an f32 upcast of E per step), so
+    train_rounds_dense is not wired as a default; kept for future tiling
+    work alongside the Pallas kernel."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    Eu = (u_idx[..., 0][:, :, None] == iota).astype(jnp.bfloat16)
+    Ei = (i_idx[..., 0][:, :, None] == iota).astype(jnp.bfloat16)
+    return Eu, Ei
+
+
+def _train_step_dense(state, batch, Eu, Ei, lr, consts, hp):
+    """Train step with precomputed one-hot operands (S==1 segments,
+    eager-L2 family; semantics identical to train_step)."""
+    w, b, g = state.w, state.b, state.g
+    u_val = batch["u_val"][:, 0]
+    i_val = batch["i_val"][:, 0]
+
+    def mm(E, m):
+        return jnp.einsum("bn,nk->bk", E, m, preferred_element_type=jnp.float32)
+
+    def mm_t(E, x):
+        return jnp.einsum("bn,bk->nk", E, x, preferred_element_type=jnp.float32)
+
+    p_u = u_val[:, None] * mm(Eu, w)
+    p_i = i_val[:, None] * mm(Ei, w)
+    score = hp.base_score + _gather_sum(state.g, batch["g_idx"], batch["g_val"])
+    score = score + i_val * mm(Ei, b[:, None])[:, 0]
+    if not hp.no_user_bias:
+        score = score + u_val * mm(Eu, b[:, None])[:, 0]
+    score = score + jnp.einsum("bk,bk->b", p_u, p_i)
+    pred = losses.map_active(score, hp.active_type)
+    err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+    lr_err = lr * err
+
+    g = _update_global(g, batch["g_idx"], batch["g_val"], err, lr)
+    coef_u = lr_err * u_val
+    coef_i = lr_err * i_val
+    w = w + mm_t(Eu, coef_u[:, None] * p_i) + mm_t(Ei, coef_i[:, None] * p_u)
+    db = jnp.einsum("bn,b->n", Ei, coef_i, preferred_element_type=jnp.float32)
+    if not hp.no_user_bias:
+        db = db + jnp.einsum(
+            "bn,b->n", Eu, coef_u, preferred_element_type=jnp.float32
+        )
+    b = b + db
+
+    cu = jnp.sum(Eu.astype(jnp.float32), axis=0)
+    ci = jnp.sum(Ei.astype(jnp.float32), axis=0)
+    fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
+        1.0 - lr * consts.wd_i_row, ci
+    )
+    w = w * fac[:, None]
+    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+    if not hp.no_user_bias:
+        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+    b = b * fac_b
+    w = w.at[-1].set(0.0)
+    b = b.at[-1].set(0.0)
+    g = g.at[-1].set(0.0)
+    nstep = state.step + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
+    return TrainState(w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g)
+
+
+def dense_mode_supported(hp: HyperParams, state: TrainState, stacked,
+                         budget_bytes: int = 2 << 30) -> bool:
+    """Whether the precomputed-one-hot fast path applies."""
+    n = state.w.shape[0]
+    T, B = stacked["label"].shape
+    return (
+        hp.reg_method == 0
+        and hp.reg_global in (0, 1)
+        and not hp.user_nonnegative
+        and not hp.item_nonnegative
+        and stacked["u_idx"].shape[-1] == 1
+        and stacked["i_idx"].shape[-1] == 1
+        and n <= ONEHOT_THRESHOLD
+        and 2 * T * B * n * 2 <= budget_bytes
+    )
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_rounds_dense(
+    state: TrainState,
+    stacked,
+    Eu,
+    Ei,
+    lrs: jax.Array,
+    consts: TrainConsts,
+    hp: HyperParams,
+) -> TrainState:
+    """Multi-round training over precomputed one-hot operands."""
+
+    def round_body(st, lr):
+        def body(s, xs):
+            batch, eu, ei = xs
+            return _train_step_dense(s, batch, eu, ei, lr, consts, hp), None
+
+        st, _ = jax.lax.scan(body, st, (stacked, Eu, Ei))
+        return st, None
+
+    state, _ = jax.lax.scan(round_body, state, lrs)
+    return state
+
+
 @partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
 def train_rounds(
     state: TrainState,
