@@ -74,7 +74,11 @@ class IteratorConfig:
 
 
 def load_csr_source(dtype: int, cfg: IteratorConfig) -> CSRDataset:
-    if dtype == it.BINARY_BUFFER or dtype == it.BINARY_PAGE:
+    if dtype == it.BINARY_PAGE:
+        from .pages import read_page_file
+
+        return read_page_file(cfg.buffer_feature or "svdfeature_buf")
+    if dtype == it.BINARY_BUFFER:
         path = cfg.buffer_feature or "svdfeature_buf"
         if not os.path.exists(path):
             if not cfg.silent:
