@@ -89,7 +89,10 @@ class SVDInferTask:
         return os.path.join(self.name_model_in_folder, "%04d.model" % i)
 
     def _init_model(self, i: int) -> None:
-        with open(self._model_path(i), "rb") as f:
+        path = self._model_path(i)
+        if not os.path.exists(path):
+            raise SystemExit(f'can not open file "{path}"')
+        with open(path, "rb") as f:
             self.mtype = SVDTypeParam.from_bytes(f.read(4))
             if self.use_ranker == 0:
                 self.inferencer = create_svd_trainer(self.mtype)
