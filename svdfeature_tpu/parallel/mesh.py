@@ -202,16 +202,18 @@ def sharded_train_step(
         )
         g = g + jax.lax.psum(g_upd, "data")
 
-        # ---- decay on touched local rows (touch counts psum'd over data)
+        # ---- decay on touched local rows (touch counts psum'd over data).
+        # A touch is every occurrence of an owned index — value may be 0
+        # (reference regularize() runs per index; _touch_counts parity).
+        own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
+        own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
         cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
-            jnp.where(lu_val.reshape(-1) != 0, 1.0, 0.0)
+            own_u.reshape(-1).astype(jnp.float32)
         )
         ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
-            jnp.where(li_val.reshape(-1) != 0, 1.0, 0.0)
+            own_i.reshape(-1).astype(jnp.float32)
         )
-        cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
-            jnp.where(batch["g_val"].reshape(-1) != 0, 1.0, 0.0)
-        )
+        cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
         cu, ci = jax.lax.psum((cu, ci), "data")
         cg = jax.lax.psum(cg, "data")
         fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
@@ -224,9 +226,18 @@ def sharded_train_step(
             fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
         b = b * fac_b
 
+        # nonnegativity clamp on touched local rows (apex_svd_base.h:242-245)
+        if hp.user_nonnegative:
+            w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+        if hp.item_nonnegative:
+            w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+
         # scrub the redirect slot (received zero-coef adds but decay factors
-        # may have scaled it; keep exact zeros)
-        w = w.at[dummy].set(jnp.where(lo + dummy >= n_pad - 1, 0.0, w[dummy]))
+        # may have scaled it; keep exact zeros) + the replicated g dummy slot
+        is_tail = lo + dummy >= n_pad - 1
+        w = w.at[dummy].set(jnp.where(is_tail, 0.0, w[dummy]))
+        b = b.at[dummy].set(jnp.where(is_tail, 0.0, b[dummy]))
+        g = g.at[-1].set(0.0)
 
         nstep = state.step + jax.lax.psum(
             jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"

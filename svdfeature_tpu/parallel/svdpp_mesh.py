@@ -1,0 +1,213 @@
+"""Sharded SVD++ step: dp over users, tp over table rows, SP over feedback.
+
+Extends the base sharded step (mesh.py) to the user-group solver:
+
+* batch rows (one per user) are sharded over ``data``;
+* the unified table is row-sharded over ``model`` (masked local gathers +
+  psum, all-gathered sparse updates — same recipe as mesh.py);
+* the **feedback pool is the sequence axis** (SURVEY.md §5: a user's
+  unbounded history is the reference's 'long context').  Each data shard
+  reduces its slice of the pool (local masked gather over its model slab,
+  then segment_sum) and the per-user aggregates are psum'd over BOTH axes
+  — the moral equivalent of context-parallel blockwise reduction with
+  carries;
+* the closed-form feedback writeback is computed from the replicated
+  aggregates and applied by every data replica over the full pool
+  (identical updates), masked to model-owned rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import losses
+from ..ops.embed import HyperParams, TrainConsts, TrainState
+from .mesh import _local_gather_sum, _local_ids
+
+
+def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
+    """Build the shard_map'd one-row-per-user SVD++ step.
+
+    Batch: row arrays [G] sharded over data; cfb pool arrays [F] sharded
+    over data for the aggregate pass and replicated logically for the
+    writeback (we pass the full pool and slice by axis_index).
+    """
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    n_local = n_pad // n_model
+    if hp.reg_method != 0 or hp.reg_global != 0:
+        raise NotImplementedError("sharded svdpp supports eager L2 only")
+    assert F % n_data == 0, "feedback pool padded to a multiple of the data axis"
+    f_local = F // n_data
+
+    def step(state: TrainState, batch, cfb, lr, fb_hyper, consts: TrainConsts):
+        lr_fb, d, db = fb_hyper
+        w, b = state.w, state.b  # local slabs [n_local, k], [n_local]
+        mid = jax.lax.axis_index("model")
+        did = jax.lax.axis_index("data")
+        lo = mid * n_local
+        dummy = n_local - 1
+        with_bias = not hp.no_user_bias
+        nseg = G + 1
+
+        # ---- SP: feedback aggregates from this data-shard's pool slice,
+        # gathered over the local model slab, reduced over both axes
+        sl = jax.lax.dynamic_slice_in_dim(cfb["fb_idx"], did * f_local, f_local)
+        sv = jax.lax.dynamic_slice_in_dim(cfb["fb_val"], did * f_local, f_local)
+        sb = jax.lax.dynamic_slice_in_dim(cfb["fb_block"], did * f_local, f_local)
+        loc = sl - lo
+        own = (loc >= 0) & (loc < n_local)
+        locc = jnp.where(own, loc, dummy)
+        v = jnp.where(own, sv, 0.0)
+        fb_sum = jax.ops.segment_sum(w[locc] * v[:, None], sb, num_segments=nseg)
+        norm = jax.ops.segment_sum(sv * sv, sb, num_segments=nseg)  # val-only
+        fb_bias = jax.ops.segment_sum(b[locc] * v, sb, num_segments=nseg)
+        fb_sum = jax.lax.psum(jax.lax.psum(fb_sum, "model"), "data")
+        norm = jax.lax.psum(norm, "data")  # values are model-replicated
+        fb_bias = jax.lax.psum(jax.lax.psum(fb_bias, "model"), "data")
+
+        # ---- forward (rows sharded over data)
+        gbias = state.g  # replicated
+        u_idx, u_val = batch["u_idx"], batch["u_val"]
+        i_idx, i_val = batch["i_idx"], batch["i_val"]
+        slot = batch["slot"]  # global user slot of each local row
+        p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
+        p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
+        bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
+        if with_bias:
+            bias = bias + _local_gather_sum(b, u_idx, u_val, lo, n_local, dummy)
+        p_u, p_i, bias = jax.lax.psum((p_u, p_i, bias), "model")
+        p_u = p_u + fb_sum[slot]
+        if with_bias:
+            bias = bias + fb_bias[slot]
+        score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
+        score = score + jnp.einsum("bs,bs->b", batch["g_val"], gbias[batch["g_idx"]])
+        pred = losses.map_active(score, hp.active_type)
+        err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+        lr_err = lr * err
+
+        # ---- global-bias update: implicit damping with psum'd batch stats
+        # (matches ops/embed._update_global when batch spans all data shards)
+        n_g = gbias.shape[0]
+        gS = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(
+            (err[:, None] * batch["g_val"]).reshape(-1)
+        )
+        gC2 = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(
+            (batch["g_val"] * batch["g_val"]).reshape(-1)
+        )
+        gS, gC2 = jax.lax.psum((gS, gC2), "data")
+        gbias = gbias + lr * gS / (1.0 + lr * gC2)
+
+        # ---- all-gathered sparse updates (identical across data replicas)
+        lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
+        li_idx, li_val = _local_ids(i_idx, i_val, lo, n_local, dummy)
+        coef_u = lr_err[:, None] * lu_val
+        coef_i = lr_err[:, None] * li_val
+        ag = lambda x: jax.lax.all_gather(x, "data")
+        g_lu, g_li = ag(lu_idx), ag(li_idx)
+        g_cu, g_ci = ag(coef_u), ag(coef_i)
+        g_pu, g_pi = ag(p_u), ag(p_i)
+        k = w.shape[1]
+        w = w.at[g_lu.reshape(-1)].add(
+            (g_cu[..., None] * g_pi[:, :, None, :]).reshape(-1, k)
+        )
+        w = w.at[g_li.reshape(-1)].add(
+            (g_ci[..., None] * g_pu[:, :, None, :]).reshape(-1, k)
+        )
+        b = b.at[g_li.reshape(-1)].add(g_ci.reshape(-1))
+        if with_bias:
+            b = b.at[g_lu.reshape(-1)].add(g_cu.reshape(-1))
+
+        # ---- feedback writeback: replicated delta over the FULL pool,
+        # masked to model-owned rows
+        present = batch["weight"]
+        S = jax.ops.segment_sum(err[:, None] * p_i, slot, num_segments=nseg)
+        pres = jax.ops.segment_sum(present, slot, num_segments=nseg)
+        S = jax.lax.psum(S, "data")
+        pres = jax.lax.psum(pres, "data")
+        inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+        dtmp = fb_sum * ((d - 1.0) * pres)[:, None] + lr_fb * norm[:, None] * S
+        delta = dtmp * inv_norm[:, None]  # [G+1, k] replicated
+        floc = cfb["fb_idx"] - lo
+        fown = (floc >= 0) & (floc < n_local)
+        flocc = jnp.where(fown, floc, dummy)
+        fval = jnp.where(fown, cfb["fb_val"], 0.0)
+        w = w.at[flocc].add(delta[cfb["fb_block"]] * fval[:, None])
+        if with_bias:
+            Sb = jax.lax.psum(
+                jax.ops.segment_sum(err, slot, num_segments=nseg), "data"
+            )
+            dtmp_b = fb_bias * ((db - 1.0) * pres) + lr_fb * norm * Sb
+            delta_b = dtmp_b * inv_norm
+            b = b.at[flocc].add(delta_b[cfb["fb_block"]] * fval)
+
+        # ---- eager L2 decay on touched rows (counts psum'd over data).
+        # A touch is every occurrence of an owned index — value may be 0
+        # (reference regularize() runs per index; _touch_counts parity).
+        own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
+        own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
+        cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
+            own_u.reshape(-1).astype(jnp.float32)
+        )
+        ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
+            own_i.reshape(-1).astype(jnp.float32)
+        )
+        cg = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(1.0)
+        cu, ci = jax.lax.psum((cu, ci), "data")
+        cg = jax.lax.psum(cg, "data")
+        fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
+            1.0 - lr * consts.wd_i_row, ci
+        )
+        w = w * fac[:, None]
+        gbias = gbias * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+        fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+        if with_bias:
+            fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+        b = b * fac_b
+
+        # nonnegativity clamp on touched local rows (apex_svd_base.h:242-245)
+        if hp.user_nonnegative:
+            w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+        if hp.item_nonnegative:
+            w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+
+        # scrub the global dummy row (last local row of the LAST model shard
+        # only — other shards' redirect slot is a real row, left untouched)
+        is_tail = lo + dummy >= n_pad - 1
+        w = w.at[dummy].set(jnp.where(is_tail, 0.0, w[dummy]))
+        b = b.at[dummy].set(jnp.where(is_tail, 0.0, b[dummy]))
+        gbias = gbias.at[-1].set(0.0)
+
+        nstep = state.step + jax.lax.psum(
+            jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"
+        )
+        return TrainState(
+            w=w, b=b, g=gbias, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+        )
+
+    state_spec = TrainState(
+        w=P("model", None), b=P("model"), g=P(), step=P(), ref_ui=P("model"), ref_g=P()
+    )
+    batch_spec = {
+        "label": P("data"), "weight": P("data"), "slot": P("data"),
+        "g_idx": P("data", None), "g_val": P("data", None),
+        "u_idx": P("data", None), "u_val": P("data", None),
+        "i_idx": P("data", None), "i_val": P("data", None),
+    }
+    cfb_spec = {"fb_idx": P(), "fb_val": P(), "fb_block": P()}
+    consts_spec = TrainConsts(
+        wd_u_row=P("model"), wd_i_row=P("model"), wd_g_row=P(),
+        wd_user_bias=P(), wd_item_bias=P(),
+    )
+    from jax import shard_map
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, cfb_spec, P(), P(), consts_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -1,0 +1,163 @@
+"""Sharded SVD++ parity: the (data, model)-mesh SVD++ step must match the
+single-device fused step (ops/svdpp._plus_step) numerically, including the
+feedback segment-sum (SP analogue) and closed-form writeback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svdfeature_tpu.ops.embed import HyperParams, TrainConsts, TrainState
+from svdfeature_tpu.ops.svdpp import _plus_step
+from svdfeature_tpu.parallel.mesh import make_mesh, shard_consts, shard_state
+from svdfeature_tpu.parallel.svdpp_mesh import sharded_svdpp_step
+from tests.conftest import cpu_devices
+
+
+def _toy_plus(G=8, F=16, k=8, seed=0, nonneg=False, no_user_bias=False):
+    num_user, num_item, num_fb = 12, 20, 16
+    n = num_user + num_item + num_fb  # unified row space; dummy row = n
+    n_g = 5
+    rng = np.random.RandomState(seed)
+    w = rng.randn(n + 1, k).astype(np.float32) * 0.1
+    b = rng.randn(n + 1).astype(np.float32) * 0.1
+    g = rng.randn(n_g).astype(np.float32) * 0.1
+    w[-1] = 0.0
+    b[-1] = 0.0
+    g[-1] = 0.0
+    state = TrainState(
+        w=jnp.asarray(w), b=jnp.asarray(b), g=jnp.asarray(g),
+        step=jnp.zeros((), jnp.int32),
+        ref_ui=jnp.zeros((n + 1,), jnp.int32),
+        ref_g=jnp.zeros((n_g,), jnp.int32),
+    )
+    off_item, off_fb = num_user, num_user + num_item
+    batch = {
+        "label": rng.randint(1, 6, G).astype(np.float32),
+        "weight": np.ones(G, np.float32),
+        "g_idx": rng.randint(0, n_g - 1, (G, 1)).astype(np.int32),
+        "g_val": rng.rand(G, 1).astype(np.float32),
+        "u_idx": (np.arange(G) % num_user).astype(np.int32)[:, None],
+        "u_val": np.ones((G, 1), np.float32),
+        "i_idx": (off_item + rng.randint(0, num_item, (G, 2))).astype(np.int32),
+        "i_val": rng.rand(G, 2).astype(np.float32) + 0.1,
+    }
+    # real index with zero value: decay must still count the touch
+    batch["i_val"][0, 1] = 0.0
+    # one absent (padded) user slot
+    batch["weight"][G - 1] = 0.0
+    batch["label"][G - 1] = 0.0
+    batch["u_idx"][G - 1] = n
+    batch["u_val"][G - 1] = 0.0
+    batch["i_idx"][G - 1] = n
+    batch["i_val"][G - 1] = 0.0
+    batch["g_idx"][G - 1] = n_g - 1
+    batch["g_val"][G - 1] = 0.0
+    batch = {k_: jnp.asarray(v) for k_, v in batch.items()}
+    fb_idx = np.full(F, n, np.int32)
+    fb_val = np.zeros(F, np.float32)
+    fb_block = np.full(F, G, np.int32)
+    pos = 0
+    for u in range(G - 1):
+        for _ in range(int(rng.randint(1, 3))):
+            if pos < F:
+                fb_idx[pos] = off_fb + rng.randint(0, num_fb)
+                fb_val[pos] = rng.rand() + 0.1
+                fb_block[pos] = u
+                pos += 1
+    cfb = {
+        "fb_idx": jnp.asarray(fb_idx),
+        "fb_val": jnp.asarray(fb_val),
+        "fb_block": jnp.asarray(fb_block),
+    }
+    hp = HyperParams(
+        active_type=0, base_score=3.0,
+        no_user_bias=int(no_user_bias),
+        user_nonnegative=int(nonneg), item_nonnegative=int(nonneg),
+    )
+    consts = TrainConsts(
+        wd_u_row=jnp.full((n + 1,), 0.004, jnp.float32),
+        wd_i_row=jnp.full((n + 1,), 0.003, jnp.float32),
+        wd_g_row=jnp.concatenate(
+            [jnp.full((n_g - 1,), 0.002, jnp.float32), jnp.zeros((1,))]
+        ),
+        wd_user_bias=jnp.float32(0.004),
+        wd_item_bias=jnp.float32(0.004),
+    )
+    lr = jnp.float32(0.01)
+    lr_fb = float(lr) * 1.0
+    fb_hyper = (
+        jnp.float32(lr_fb),
+        jnp.float32(1.0 - lr_fb * 0.004),
+        jnp.float32(1.0 - lr_fb * 0.002),
+    )
+    return state, batch, cfb, lr, fb_hyper, consts, hp
+
+
+def _shard_inputs(mesh, state, batch, cfb, consts, G):
+    sstate, n_pad = shard_state(state, mesh)
+    sconsts = shard_consts(consts, mesh, n_pad)
+    sbatch = dict(batch)
+    sbatch["slot"] = jnp.arange(G, dtype=jnp.int32)
+    sbatch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P("data") if v.ndim == 1 else P("data", None))
+        )
+        for k, v in sbatch.items()
+    }
+    scfb = {k: jax.device_put(v, NamedSharding(mesh, P())) for k, v in cfb.items()}
+    return sstate, sbatch, scfb, sconsts, n_pad
+
+
+@pytest.mark.parametrize("n_data,n_model", [(1, 1), (2, 1), (1, 2), (4, 2)])
+@pytest.mark.parametrize("nonneg", [False, True])
+def test_sharded_svdpp_matches_single(n_data, n_model, nonneg):
+    if len(cpu_devices()) < n_data * n_model:
+        pytest.skip("not enough devices")
+    state, batch, cfb, lr, fbh, consts, hp = _toy_plus(nonneg=nonneg)
+    ref = _plus_step(
+        jax.tree.map(jnp.copy, state), batch, cfb, lr, consts, hp, fbh
+    )
+    mesh = make_mesh(n_data, n_model, cpu_devices())
+    G, F = batch["label"].shape[0], cfb["fb_idx"].shape[0]
+    sstate, sbatch, scfb, sconsts, n_pad = _shard_inputs(
+        mesh, state, batch, cfb, consts, G
+    )
+    step = sharded_svdpp_step(mesh, hp, n_pad, G, F)
+    out = step(sstate, sbatch, scfb, lr, fbh, sconsts)
+    n = ref.w.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(out.w)[:n], np.asarray(ref.w), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.b)[:n], np.asarray(ref.b), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.g), np.asarray(ref.g), rtol=2e-5, atol=1e-6
+    )
+    assert int(out.step) == int(ref.step)
+
+
+def test_sharded_svdpp_trajectory():
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    state, batch, cfb, lr, fbh, consts, hp = _toy_plus()
+    ref = jax.tree.map(jnp.copy, state)
+    for _ in range(5):
+        ref = _plus_step(ref, batch, cfb, lr, consts, hp, fbh)
+    mesh = make_mesh(2, 2, cpu_devices())
+    G, F = batch["label"].shape[0], cfb["fb_idx"].shape[0]
+    sstate, sbatch, scfb, sconsts, n_pad = _shard_inputs(
+        mesh, state, batch, cfb, consts, G
+    )
+    step = sharded_svdpp_step(mesh, hp, n_pad, G, F)
+    for _ in range(5):
+        sstate = step(sstate, sbatch, scfb, lr, fbh, sconsts)
+    n = ref.w.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(sstate.w)[:n], np.asarray(ref.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sstate.b)[:n], np.asarray(ref.b), rtol=1e-4, atol=1e-5
+    )
