@@ -119,18 +119,15 @@ def _local_ids(idx, val, lo, n_local, dummy_local):
     return jnp.where(own, loc, dummy_local), jnp.where(own, val, 0.0)
 
 
-def sharded_train_step(
-    mesh: Mesh, hp: HyperParams, n_pad: int
-):
-    """Build the shard_map'd batched train step.
+def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
+    """The raw per-shard step body (state, batch, lr, consts) -> state.
 
-    The returned function has signature (state, batch, lr, consts) -> state
-    where state tables are row-sharded and batch is data-sharded.  The local
-    dummy row of each shard is its last local row only for the final shard;
-    we instead keep ONE global dummy region (the padded tail rows of the
-    last shard) and redirect non-owned ids to a per-shard scratch row —
-    implemented by appending one extra scratch row to each local slab via
-    index clamping into the local dummy slot (n_local-1 of the padded tail).
+    The local dummy row of each shard is its last local row only for the
+    final shard; we instead keep ONE global dummy region (the padded tail
+    rows of the last shard) and redirect non-owned ids to a per-shard
+    scratch row — implemented by appending one extra scratch row to each
+    local slab via index clamping into the local dummy slot (n_local-1 of
+    the padded tail).
 
     Simplification used here: the *global* dummy/padding rows live in the
     padded tail; each shard redirects non-owned ids to its local copy of
@@ -138,9 +135,6 @@ def sharded_train_step(
     zeroed**, so the redirect target's contents are irrelevant; for
     scatters the zero coefficient makes the add a no-op.
     """
-    from jax import shard_map
-
-    n_model = mesh.shape["model"]
     n_local = n_pad // n_model
     if hp.reg_method != 0 or hp.reg_global != 0:
         raise NotImplementedError(
@@ -246,6 +240,10 @@ def sharded_train_step(
             w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
         )
 
+    return step
+
+
+def _specs():
     state_spec = TrainState(
         w=P("model", None),
         b=P("model"),
@@ -267,6 +265,19 @@ def sharded_train_step(
         wd_user_bias=P(),
         wd_item_bias=P(),
     )
+    return state_spec, batch_spec, consts_spec
+
+
+def sharded_train_step(mesh: Mesh, hp: HyperParams, n_pad: int):
+    """Build the shard_map'd batched train step.
+
+    Signature: (state, batch, lr, consts) -> state, with state tables
+    row-sharded over ``model`` and the batch sharded over ``data``.
+    """
+    from jax import shard_map
+
+    step = _make_step_body(hp, n_pad, mesh.shape["model"])
+    state_spec, batch_spec, consts_spec = _specs()
     # check_vma=False: the static replication checker cannot infer that the
     # all-gathered sparse updates leave w/b identical across the data axis
     # (they do — the gathered tuples are the same on every data shard).
@@ -274,6 +285,48 @@ def sharded_train_step(
         step,
         mesh=mesh,
         in_specs=(state_spec, batch_spec, P(), consts_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_train_rounds(mesh: Mesh, hp: HyperParams, n_pad: int):
+    """Whole multi-round run in ONE dispatch on the mesh.
+
+    Signature: (state, stacked, lrs, consts) -> state where ``stacked`` is
+    the epoch batch pytree with leading [T, B, ...] dims (B sharded over
+    ``data``) and ``lrs`` is the per-round learning-rate array [R].  The
+    round/batch double scan runs *inside* shard_map so the collectives are
+    compiled once and no host round-trips occur between batches — the
+    multi-chip analogue of ops/embed.train_rounds.
+    """
+    from jax import shard_map
+
+    step = _make_step_body(hp, n_pad, mesh.shape["model"])
+    state_spec, batch_spec, consts_spec = _specs()
+
+    def run(state: TrainState, stacked, lrs, consts: TrainConsts):
+        def round_body(st, lr):
+            def batch_body(s, batch):
+                return step(s, batch, lr, consts), None
+
+            st, _ = jax.lax.scan(batch_body, st, stacked)
+            return st, None
+
+        state, _ = jax.lax.scan(round_body, state, lrs)
+        return state
+
+    stacked_spec = {
+        k: (P(None, "data") if k in ("label", "weight") else P(None, "data", None))
+        for k in (
+            "label", "weight", "g_idx", "g_val", "u_idx", "u_val", "i_idx", "i_val"
+        )
+    }
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(state_spec, stacked_spec, P(), consts_spec),
         out_specs=state_spec,
         check_vma=False,
     )

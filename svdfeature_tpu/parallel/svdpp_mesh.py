@@ -20,26 +20,30 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import losses
 from ..ops.embed import HyperParams, TrainConsts, TrainState
 from .mesh import _local_gather_sum, _local_ids
 
 
-def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
-    """Build the shard_map'd one-row-per-user SVD++ step.
+def _make_svdpp_body(
+    hp: HyperParams, n_pad: int, n_model: int, n_data: int, G: int, F: int
+):
+    """Per-shard one-row-per-user SVD++ step body.
 
-    Batch: row arrays [G] sharded over data; cfb pool arrays [F] sharded
-    over data for the aggregate pass and replicated logically for the
-    writeback (we pass the full pool and slice by axis_index).
+    Batch: row arrays [G] sharded over data (local block = this shard's
+    contiguous user slots); cfb pool arrays [F] replicated — each data
+    shard reduces its F/n_data slice for the aggregates and applies the
+    full-pool writeback identically.
     """
-    n_model = mesh.shape["model"]
-    n_data = mesh.shape["data"]
     n_local = n_pad // n_model
     if hp.reg_method != 0 or hp.reg_global != 0:
         raise NotImplementedError("sharded svdpp supports eager L2 only")
+    assert G % n_data == 0, "users_per_batch padded to a multiple of data axis"
     assert F % n_data == 0, "feedback pool padded to a multiple of the data axis"
+    g_local = G // n_data
     f_local = F // n_data
 
     def step(state: TrainState, batch, cfb, lr, fb_hyper, consts: TrainConsts):
@@ -51,6 +55,8 @@ def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
         dummy = n_local - 1
         with_bias = not hp.no_user_bias
         nseg = G + 1
+        # global user slot of each local row
+        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
 
         # ---- SP: feedback aggregates from this data-shard's pool slice,
         # gathered over the local model slab, reduced over both axes
@@ -72,7 +78,6 @@ def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
         gbias = state.g  # replicated
         u_idx, u_val = batch["u_idx"], batch["u_val"]
         i_idx, i_val = batch["i_idx"], batch["i_val"]
-        slot = batch["slot"]  # global user slot of each local row
         p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
         p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
         bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
@@ -187,22 +192,34 @@ def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
             w=w, b=b, g=gbias, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
         )
 
+    return step
+
+
+def _specs():
     state_spec = TrainState(
         w=P("model", None), b=P("model"), g=P(), step=P(), ref_ui=P("model"), ref_g=P()
     )
+    batch_keys = ("label", "weight", "g_idx", "g_val", "u_idx", "u_val", "i_idx", "i_val")
     batch_spec = {
-        "label": P("data"), "weight": P("data"), "slot": P("data"),
-        "g_idx": P("data", None), "g_val": P("data", None),
-        "u_idx": P("data", None), "u_val": P("data", None),
-        "i_idx": P("data", None), "i_val": P("data", None),
+        k: (P("data") if k in ("label", "weight") else P("data", None))
+        for k in batch_keys
     }
     cfb_spec = {"fb_idx": P(), "fb_val": P(), "fb_block": P()}
     consts_spec = TrainConsts(
         wd_u_row=P("model"), wd_i_row=P("model"), wd_g_row=P(),
         wd_user_bias=P(), wd_item_bias=P(),
     )
+    return state_spec, batch_spec, cfb_spec, consts_spec
+
+
+def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
+    """Per-batch jitted step: (state, batch, cfb, lr, fb_hyper, consts)."""
     from jax import shard_map
 
+    step = _make_svdpp_body(
+        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F
+    )
+    state_spec, batch_spec, cfb_spec, consts_spec = _specs()
     fn = shard_map(
         step,
         mesh=mesh,
@@ -211,3 +228,105 @@ def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_svdpp_rounds(
+    mesh: Mesh,
+    hp: HyperParams,
+    n_pad: int,
+    G: int,
+    F: int,
+    scale_lr_ufeedback: float = 1.0,
+    wd_ufeedback: float = 0.0,
+    wd_ufeedback_bias: float = 0.0,
+):
+    """Whole multi-round SVD++ run in ONE dispatch on the mesh.
+
+    Signature: (state, stacked, chunk_id, fb, lrs, consts) -> state.
+    ``stacked``: [T, G, ...] batches (G sharded over data); ``fb``: [C, F]
+    replicated chunk pools; ``chunk_id``: [T].  Per-round lr decay is
+    applied on device (multi-chip analogue of ops/svdpp.train_epoch_plus).
+    """
+    from jax import shard_map
+
+    step = _make_svdpp_body(
+        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F
+    )
+    state_spec, batch_spec, cfb_spec, consts_spec = _specs()
+
+    def run(state, stacked, chunk_id, fb, lrs, consts):
+        def round_body(st, lr):
+            lr_fb = lr * scale_lr_ufeedback
+            fbh = (
+                lr_fb,
+                1.0 - lr_fb * wd_ufeedback,
+                1.0 - lr_fb * wd_ufeedback_bias,
+            )
+
+            def batch_body(s, xs):
+                batch, cid = xs
+                cfb = jax.tree.map(lambda a: a[cid], fb)
+                return step(s, batch, cfb, lr, fbh, consts), None
+
+            st, _ = jax.lax.scan(batch_body, st, (stacked, chunk_id))
+            return st, None
+
+        state, _ = jax.lax.scan(round_body, state, lrs)
+        return state
+
+    stacked_spec = {
+        k: (P(None, "data") if k in ("label", "weight") else P(None, "data", None))
+        for k in batch_spec
+    }
+    fb_spec = {k: P(None, None) for k in cfb_spec}
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(state_spec, stacked_spec, P(), fb_spec, P(), consts_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def pad_plus_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int, num_global: int):
+    """Pad packed plus batches so G and F divide the data axis.
+
+    ``arrays``: dict of [T, G, ...] host arrays; ``fb``: dict of [C, F]
+    pools.  Padded user slots are absent rows (weight 0, per-segment dummy
+    ids, value 0); pool padding entries carry value 0 and block slot G'
+    (the always-empty segment).  Returns (arrays, fb, G', F').
+    """
+    T = arrays["label"].shape[0]
+    Gp = -(-G // n_data) * n_data
+    if Gp != G:
+        out = {}
+        for k, v in arrays.items():
+            fill = 0
+            if k == "g_idx":
+                fill = num_global
+            elif k.endswith("_idx"):
+                fill = dummy_row
+            pad = np.full((T, Gp - G) + v.shape[2:], fill, v.dtype)
+            out[k] = np.concatenate([v, pad], axis=1)
+        arrays = out
+    F = fb["fb_idx"].shape[1]
+    Fp = -(-F // n_data) * n_data
+    if Fp != F:
+        C = fb["fb_idx"].shape[0]
+        fb = {
+            "fb_idx": np.concatenate(
+                [fb["fb_idx"], np.zeros((C, Fp - F), np.int32)], axis=1
+            ),
+            "fb_val": np.concatenate(
+                [fb["fb_val"], np.zeros((C, Fp - F), np.float32)], axis=1
+            ),
+            "fb_block": np.concatenate(
+                [fb["fb_block"], np.full((C, Fp - F), G, np.int32)], axis=1
+            ),
+        }
+    if Gp != G:
+        # remap pool padding block slot G -> Gp (always-empty segment)
+        fb = dict(fb)
+        fb["fb_block"] = np.where(fb["fb_block"] >= G, Gp, fb["fb_block"])
+    return arrays, fb, Gp, Fp

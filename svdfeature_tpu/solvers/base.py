@@ -60,6 +60,14 @@ class SVDFeatureTrainer:
         self.hp: Optional[HyperParams] = None
         self._space_allocated = False
         self._pack_cache: Dict[int, object] = {}
+        # multi-chip: mesh_data x mesh_model devices (parallel/mesh.py);
+        # 1x1 = single-device fused path
+        self.mesh_data = 1
+        self.mesh_model = 1
+        self._mesh = None
+        self._n_pad: Optional[int] = None
+        self._tbl_rows: Optional[int] = None  # unpadded table rows incl. dummy
+        self._sharded_rounds = None
 
     # ---- configuration -----------------------------------------------------
     def set_param(self, name: str, val: str) -> None:
@@ -71,6 +79,10 @@ class SVDFeatureTrainer:
             self.batch_size = int(val)
         if name == "use_pallas":
             self.use_pallas = bool(int(val))
+        if name == "mesh_data":
+            self.mesh_data = int(val)
+        if name == "mesh_model":
+            self.mesh_model = int(val)
         if name == "seed":
             self.seed = int(val)
         self.tparam.set_param(name, val)
@@ -97,10 +109,11 @@ class SVDFeatureTrainer:
 
     def _sync_model_from_state(self) -> None:
         if self.state is not None:
+            n = self.model.num_rows  # excludes dummy + mesh padding rows
             self.model = dataclasses.replace(
                 self.model,
-                w=self.state.w[:-1],
-                b=self.state.b[:-1],
+                w=self.state.w[:n],
+                b=self.state.b[:n],
                 g=self.state.g[:-1],
             )
 
@@ -126,6 +139,36 @@ class SVDFeatureTrainer:
         self.hp = self._build_hp()
         self.learning_rate = self.tparam.learning_rate
         self.round_counter = 0
+        if self.mesh_data * self.mesh_model > 1:
+            self._init_mesh()
+
+    def _init_mesh(self) -> None:
+        """Shard the trainer over a (mesh_data x mesh_model) device mesh."""
+        from ..parallel.mesh import (
+            make_mesh,
+            shard_consts,
+            shard_state,
+            sharded_train_rounds,
+        )
+
+        need = self.mesh_data * self.mesh_model
+        if len(jax.devices()) < need:
+            raise ValueError(
+                f"mesh_data*mesh_model={need} exceeds {len(jax.devices())} devices"
+            )
+        if self.hp.reg_method != 0 or self.hp.reg_global != 0:
+            raise NotImplementedError(
+                "multi-chip training supports eager L2 (reg_method=0, "
+                "reg_global=0); other reg modes run single-chip"
+            )
+        # data-sharded batches need B % mesh_data == 0
+        if self.batch_size % self.mesh_data:
+            self.batch_size += self.mesh_data - self.batch_size % self.mesh_data
+        self._tbl_rows = int(self.state.w.shape[0])
+        self._mesh = make_mesh(self.mesh_data, self.mesh_model)
+        self.state, self._n_pad = shard_state(self.state, self._mesh)
+        self.consts = shard_consts(self.consts, self._mesh, self._n_pad)
+        self._sharded_rounds = sharded_train_rounds(self._mesh, self.hp, self._n_pad)
 
     def _build_hp(self) -> HyperParams:
         p = self.model.param
@@ -197,16 +240,37 @@ class SVDFeatureTrainer:
                 num_user=m.param.num_user,
                 num_item=m.param.num_item,
             )
-            self._pack_cache[key] = (
-                jax.device_put(packed.arrays()),
-                ds.num_row,
-            )
+            arrays = packed.arrays()
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                arrays = {
+                    k: jax.device_put(
+                        v,
+                        NamedSharding(
+                            self._mesh,
+                            P(None, "data") if v.ndim == 2 else P(None, "data", None),
+                        ),
+                    )
+                    for k, v in arrays.items()
+                }
+            else:
+                arrays = jax.device_put(arrays)
+            self._pack_cache[key] = (arrays, ds.num_row)
         return self._pack_cache[key]
 
     # ---- training / prediction --------------------------------------------------
     def update_all(self, ds: CSRDataset) -> None:
         """One pass over the dataset (one round)."""
         stacked, _ = self._pack(ds)
+        if self._mesh is not None:
+            self.state = self._sharded_rounds(
+                self.state,
+                stacked,
+                jnp.asarray([self.learning_rate], jnp.float32),
+                self.consts,
+            )
+            return
         self.state = train_epoch(
             self.state, stacked, jnp.float32(self.learning_rate), self.consts, self.hp
         )
@@ -226,6 +290,9 @@ class SVDFeatureTrainer:
                 self.learning_rate *= self.tparam.decay_rate
                 self.round_counter += 1
         lrs = jnp.asarray(lrs, jnp.float32)
+        if self._mesh is not None:
+            self.state = self._sharded_rounds(self.state, stacked, lrs, self.consts)
+            return
         if self.use_pallas and jax.default_backend() != "cpu":
             from ..ops.pallas_embed import pallas_supported, train_rounds_pallas
 
@@ -238,10 +305,24 @@ class SVDFeatureTrainer:
 
     def predict_all(self, ds: CSRDataset) -> np.ndarray:
         stacked, nrow = self._pack(ds)
+        if self._mesh is not None:
+            # prediction runs in the single-device layout
+            stacked = jax.device_put(jax.device_get(stacked))
         preds = predict_batches(self.state_or_model(), stacked, self.hp)
         return np.asarray(preds).reshape(-1)[:nrow]
 
     def state_or_model(self) -> TrainState:
         if self.state is None:
             self.init_trainer()
+        if self._mesh is not None:
+            # inference uses the single-device layout: drop mesh padding rows
+            n = self._tbl_rows
+            return TrainState(
+                w=jnp.asarray(self.state.w[:n]),
+                b=jnp.asarray(self.state.b[:n]),
+                g=jnp.asarray(self.state.g),
+                step=self.state.step,
+                ref_ui=jnp.asarray(self.state.ref_ui[:n]),
+                ref_g=self.state.ref_g,
+            )
         return self.state

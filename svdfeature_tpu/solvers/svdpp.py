@@ -22,6 +22,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def __init__(self, mtype):
         super().__init__(mtype)
         self.users_per_batch = 128
+        self._plus_sharded = {}
 
     def set_param(self, name: str, val: str) -> None:
         if name == "users_per_batch":
@@ -46,12 +47,40 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
             )
-            entry = (
-                jax.device_put(packed.device_arrays()),
-                jax.device_put(packed.chunk_id),
-                jax.device_put(packed.fb_arrays()),
-                packed.perm,
-            )
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+                host_arrays = packed.device_arrays()
+                host_arrays.pop("chunk_id", None)  # passed separately
+                arrays, fbd, Gp, _ = pad_plus_for_mesh(
+                    host_arrays,
+                    packed.fb_arrays(),
+                    packed.num_blocks_local,
+                    self.mesh_data,
+                    m.num_rows,
+                    m.param.num_global,
+                )
+                sh = lambda v: NamedSharding(
+                    self._mesh, P(None, "data") if v.ndim == 2 else P(None, "data", None)
+                )
+                rep = NamedSharding(self._mesh, P())
+                entry = (
+                    {k: jax.device_put(v, sh(v)) for k, v in arrays.items()},
+                    jax.device_put(packed.chunk_id, rep),
+                    {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                    # remap dataset-row -> packed-slot for the padded G
+                    (packed.perm // packed.num_blocks_local) * Gp
+                    + packed.perm % packed.num_blocks_local,
+                )
+            else:
+                entry = (
+                    jax.device_put(packed.device_arrays()),
+                    jax.device_put(packed.chunk_id),
+                    jax.device_put(packed.fb_arrays()),
+                    packed.perm,
+                )
             if not cache:
                 return entry
             self._pack_cache[key] = entry
@@ -59,6 +88,32 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
 
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _ = entry
+        if self._mesh is not None:
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            key = (G, F)
+            if key not in self._plus_sharded:
+                from ..parallel.svdpp_mesh import sharded_svdpp_rounds
+
+                self._plus_sharded[key] = sharded_svdpp_rounds(
+                    self._mesh,
+                    self.hp,
+                    self._n_pad,
+                    G,
+                    F,
+                    self.tparam.scale_lr_ufeedback,
+                    self.tparam.wd_ufeedback,
+                    self.tparam.wd_ufeedback_bias,
+                )
+            self.state = self._plus_sharded[key](
+                self.state,
+                stacked,
+                chunk_id,
+                fb,
+                jnp.asarray([self.learning_rate], jnp.float32),
+                self.consts,
+            )
+            return
         self.state = train_epoch_plus(
             self.state,
             stacked,
@@ -88,6 +143,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         else:
             return super().predict_all(ds)
         stacked, chunk_id, fb, perm = entry
+        if self._mesh is not None:
+            # prediction runs in the single-device layout
+            stacked = jax.device_put(jax.device_get(stacked))
+            fb = jax.device_put(jax.device_get(fb))
+            chunk_id = jax.device_put(jax.device_get(chunk_id))
         preds = np.asarray(
             predict_batches_plus(self.state_or_model(), stacked, chunk_id, fb, self.hp)
         ).reshape(-1)

@@ -82,3 +82,46 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (256,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_trainer_mesh_config_path():
+    """Config-driven multi-chip training (mesh_data/mesh_model keys) must
+    produce the same model as the single-device trainer."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_feature_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.base import SVDFeatureTrainer
+
+    text = "\n".join(
+        f"{(i % 5) + 1} 0 1 1 {i % 29}:1 {(i * 7) % 37}:1"
+        for i in range(200)
+    )
+    ds = load_feature_text("x", text=text)
+    params = dict(
+        num_user=29, num_item=37, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, batch_size=32,
+    )
+
+    def run(extra):
+        mt = SVDTypeParam()
+        tr = SVDFeatureTrainer(mt)
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2})
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )

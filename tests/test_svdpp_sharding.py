@@ -99,7 +99,6 @@ def _shard_inputs(mesh, state, batch, cfb, consts, G):
     sstate, n_pad = shard_state(state, mesh)
     sconsts = shard_consts(consts, mesh, n_pad)
     sbatch = dict(batch)
-    sbatch["slot"] = jnp.arange(G, dtype=jnp.int32)
     sbatch = {
         k: jax.device_put(
             v, NamedSharding(mesh, P("data") if v.ndim == 1 else P("data", None))
@@ -160,4 +159,57 @@ def test_sharded_svdpp_trajectory():
     )
     np.testing.assert_allclose(
         np.asarray(sstate.b)[:n], np.asarray(ref.b), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_svdpp_trainer_mesh_config_path():
+    """Config-driven multi-chip SVD++ training (mesh_data/mesh_model) must
+    match the single-device trainer, including G/F mesh padding."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    rng = np.random.RandomState(3)
+    data_lines, fb_lines = [], []
+    for u in range(12):
+        nrows = int(rng.randint(3, 7))
+        nfb = int(rng.randint(2, 5))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 15)}:1" for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 20)}:1")
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+    params = dict(
+        num_user=12, num_item=20, num_ufeedback=15, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, wd_ufeedback=0.004,
+        users_per_batch=5,  # pads 5 -> 6 on a 2-wide data axis
+    )
+
+    def run(extra):
+        mt = SVDTypeParam(format_type=1)
+        tr = SVDPPFeatureTrainer(mt)
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2})
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
     )
