@@ -54,12 +54,15 @@ class PackedPlusBatches:
     fb_idx: np.ndarray  # [C, F]
     fb_val: np.ndarray  # [C, F]
     fb_block: np.ndarray  # [C, F] chunk-local block slot (pad = G)
+    fb_overlap: np.ndarray  # [C, G+1, G+1]: O[u,v] = sum_f val_uf * val_vf
     perm: np.ndarray  # [R]: dataset row -> packed slot (t*G + g)
     num_blocks_local: int  # G
 
     def device_arrays(self) -> Dict[str, np.ndarray]:
         d = dataclasses.asdict(self)
-        for k in ("perm", "num_blocks_local", "fb_idx", "fb_val", "fb_block"):
+        for k in (
+            "perm", "num_blocks_local", "fb_idx", "fb_val", "fb_block", "fb_overlap"
+        ):
             d.pop(k)
         return d
 
@@ -206,6 +209,22 @@ def pack_plus(
                 f0 += nf
         t0 += Tc
 
+    # per-chunk user-overlap matrices O[u,v] = sum_f val_uf * val_vf over
+    # shared feedback ids — the closed form of "how one user's feedback
+    # writeback shifts another's re-gathered feedback sum" (ops/svdpp.py
+    # train_epoch_plus carries fb_sum with fb_sum += O @ delta instead of
+    # re-gathering the pool every batch)
+    fb_overlap = np.zeros((C, G + 1, G + 1), np.float32)
+    for c in range(C):
+        live = fb_val[c] != 0
+        if not live.any():
+            continue
+        ids = fb_idx[c][live]
+        _, local = np.unique(ids, return_inverse=True)
+        P = np.zeros((G + 1, local.max() + 1), np.float32)
+        np.add.at(P, (fb_block[c][live], local), fb_val[c][live])
+        fb_overlap[c] = P @ P.T
+
     return PackedPlusBatches(
         chunk_id=chunk_id,
         perm=perm,
@@ -213,5 +232,6 @@ def pack_plus(
         fb_idx=fb_idx,
         fb_val=fb_val,
         fb_block=fb_block,
+        fb_overlap=fb_overlap,
         **out,
     )

@@ -346,6 +346,88 @@ def _apply_factor_reg(
     raise ValueError(f"unknown reg_method {m}")
 
 
+def _train_step_fused(state, batch, lr, consts, hp: HyperParams) -> TrainState:
+    """Hot-path step: small table, single-feature u/i segments, eager L2.
+
+    HBM-traffic-minimal form of the one-hot step: the [B, N] one-hot of
+    each segment is read EXACTLY ONCE — the w-update, b-update and touch
+    count are stacked into one [B, k+2] payload applied by a single E^T
+    matmul per segment (MXU, f32 accumulation).  Forward reads use native
+    row gathers (TPU gathers are fast; only scatters serialize).
+    """
+    w, b, g = state.w, state.b, state.g
+    n_ui, k = w.shape
+    u_idx, i_idx, g_idx = batch["u_idx"][:, 0], batch["i_idx"][:, 0], batch["g_idx"]
+    u_val, i_val = batch["u_val"][:, 0], batch["i_val"][:, 0]
+    B = u_idx.shape[0]
+
+    # ---- forward: native row gathers
+    p_u = u_val[:, None] * w[u_idx]
+    p_i = i_val[:, None] * w[i_idx]
+    score = hp.base_score + _gather_sum(g, g_idx, batch["g_val"])
+    score = score + i_val * b[i_idx]
+    if not hp.no_user_bias:
+        score = score + u_val * b[u_idx]
+    score = score + jnp.einsum("bk,bk->b", p_u, p_i)
+    pred = losses.map_active(score, hp.active_type)
+    err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
+    lr_err = lr * err
+
+    g = _update_global(g, g_idx, batch["g_val"], err, lr)
+    cg = _touch_counts(g.shape[0], g_idx)
+
+    # ---- fused scatter: [dw | db | count] per segment in one matmul
+    coef_u = lr_err * u_val
+    coef_i = lr_err * i_val
+    Eu = _onehot(u_idx, n_ui)
+    Ei = _onehot(i_idx, n_ui)
+    ones = jnp.ones((B, 1), jnp.float32)
+    pay_u = jnp.concatenate([coef_u[:, None] * p_i, coef_u[:, None], ones], axis=1)
+    pay_i = jnp.concatenate([coef_i[:, None] * p_u, coef_i[:, None], ones], axis=1)
+    out_u = jnp.einsum("bn,bc->nc", Eu, pay_u, preferred_element_type=jnp.float32)
+    out_i = jnp.einsum("bn,bc->nc", Ei, pay_i, preferred_element_type=jnp.float32)
+    cu = out_u[:, k + 1]
+    ci = out_i[:, k + 1]
+    w = w + out_u[:, :k] + out_i[:, :k]
+    b = b + out_i[:, k]
+    if not hp.no_user_bias:
+        b = b + out_u[:, k]
+
+    # ---- eager L2 decay (reg_method 0 / reg_global 0)
+    fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
+        1.0 - lr * consts.wd_i_row, ci
+    )
+    w = w * fac[:, None]
+    g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+    if not hp.no_user_bias:
+        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+    b = b * fac_b
+
+    if hp.user_nonnegative:
+        w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+    if hp.item_nonnegative:
+        w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+
+    w = w.at[-1].set(0.0)
+    b = b.at[-1].set(0.0)
+    g = g.at[-1].set(0.0)
+    nstep = state.step + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
+    return TrainState(
+        w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+    )
+
+
+def _can_fuse(hp: HyperParams, batch, n_ui: int) -> bool:
+    return (
+        _use_onehot(n_ui)
+        and hp.reg_method == 0
+        and hp.reg_global == 0
+        and batch["u_idx"].shape[1] == 1
+        and batch["i_idx"].shape[1] == 1
+    )
+
+
 @partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
 def train_step(
     state: TrainState,
@@ -357,6 +439,8 @@ def train_step(
     """One batched SGD step (random-order format)."""
     w, b, g = state.w, state.b, state.g
     n_ui = w.shape[0]
+    if _can_fuse(hp, batch, n_ui):
+        return _train_step_fused(state, batch, lr, consts, hp)
     n_g = g.shape[0]
     u_idx, i_idx, g_idx = batch["u_idx"], batch["i_idx"], batch["g_idx"]
 

@@ -14,7 +14,11 @@ import numpy as np
 
 from ..data.batching_plus import pack_plus
 from ..data.csr import PlusDataset
-from ..ops.svdpp import predict_batches_plus, train_epoch_plus
+from ..ops.svdpp import (
+    predict_batches_plus,
+    train_epoch_plus,
+    train_epoch_plus_refresh,
+)
 from .base import SVDFeatureTrainer
 
 
@@ -73,6 +77,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     # remap dataset-row -> packed-slot for the padded G
                     (packed.perm // packed.num_blocks_local) * Gp
                     + packed.perm % packed.num_blocks_local,
+                    None,  # overlap unused on the mesh path
                 )
             else:
                 entry = (
@@ -80,6 +85,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     jax.device_put(packed.chunk_id),
                     jax.device_put(packed.fb_arrays()),
                     packed.perm,
+                    jax.device_put(packed.fb_overlap),
                 )
             if not cache:
                 return entry
@@ -87,7 +93,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         return self._pack_cache[key]
 
     def _train_packed(self, entry) -> None:
-        stacked, chunk_id, fb, _ = entry
+        stacked, chunk_id, fb, _, overlap = entry
         if self._mesh is not None:
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]
@@ -114,11 +120,29 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 self.consts,
             )
             return
+        if self.model.param.common_feedback_space:
+            # feedback rows alias user rows: mid-chunk row updates touch the
+            # pool, so the overlap closed form does not hold — refresh per
+            # batch (ops/svdpp.train_epoch_plus_refresh)
+            self.state = train_epoch_plus_refresh(
+                self.state,
+                stacked,
+                chunk_id,
+                fb,
+                jnp.float32(self.learning_rate),
+                self.consts,
+                self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+            )
+            return
         self.state = train_epoch_plus(
             self.state,
             stacked,
             chunk_id,
             fb,
+            overlap,
             jnp.float32(self.learning_rate),
             self.consts,
             self.hp,
@@ -142,7 +166,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             entry = self._pack_plus(ds)
         else:
             return super().predict_all(ds)
-        stacked, chunk_id, fb, perm = entry
+        stacked, chunk_id, fb, perm, _ = entry
         if self._mesh is not None:
             # prediction runs in the single-device layout
             stacked = jax.device_put(jax.device_get(stacked))

@@ -1,0 +1,82 @@
+"""The fused one-hot fast path (ops/embed._train_step_fused — the TPU hot
+configuration) must match the general train step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svdfeature_tpu.ops.embed import (
+    HyperParams,
+    _train_step_fused,
+    train_step,
+)
+
+import __graft_entry__ as ge
+
+
+@pytest.mark.parametrize("no_user_bias", [0, 1])
+@pytest.mark.parametrize("nonneg", [0, 1])
+def test_fused_step_matches_general(no_user_bias, nonneg):
+    state, batch, hp, consts = ge._toy_setup(batch_size=64, k=8)
+    hp = HyperParams(
+        active_type=hp.active_type,
+        base_score=hp.base_score,
+        no_user_bias=no_user_bias,
+        user_nonnegative=nonneg,
+        item_nonnegative=nonneg,
+    )
+    # real global features + duplicated rows to exercise every payload lane
+    rng = np.random.RandomState(1)
+    batch = dict(batch)
+    batch["g_idx"] = jnp.asarray(rng.randint(0, 1, (64, 1)).astype(np.int32))
+    batch["g_val"] = jnp.asarray(rng.rand(64, 1).astype(np.float32))
+    batch["u_idx"] = jnp.asarray((rng.randint(0, 20, (64, 1))).astype(np.int32))
+    batch["weight"] = jnp.asarray((rng.rand(64) > 0.1).astype(np.float32))
+    lr = jnp.float32(0.01)
+    ref = train_step(jax.tree.map(jnp.copy, state), batch, lr, consts, hp)
+    out = _train_step_fused(jax.tree.map(jnp.copy, state), batch, lr, consts, hp)
+    for name in ("w", "b", "g"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=2e-5,
+            atol=1e-6,
+            err_msg=name,
+        )
+    assert int(out.step) == int(ref.step)
+
+
+def test_fb_onehot_forms_match_plain():
+    """The one-hot matmul forms of the SVD++ feedback aggregation and pool
+    writeback (TPU path) must match the segment_sum/scatter forms."""
+    from svdfeature_tpu.ops.svdpp import _fb_aggregates, _fb_writeback
+
+    rng = np.random.RandomState(0)
+    N, k, F, G = 50, 8, 37, 6
+    w = jnp.asarray(rng.randn(N, k).astype(np.float32))
+    b = jnp.asarray(rng.randn(N).astype(np.float32))
+    cfb = {
+        "fb_idx": jnp.asarray(rng.randint(0, N, F).astype(np.int32)),
+        "fb_val": jnp.asarray((rng.rand(F) * (rng.rand(F) > 0.2)).astype(np.float32)),
+        "fb_block": jnp.asarray(rng.randint(0, G + 1, F).astype(np.int32)),
+    }
+    for with_bias in (True, False):
+        ref = _fb_aggregates(w, b, cfb, G + 1, with_bias, force_onehot=False)
+        out = _fb_aggregates(w, b, cfb, G + 1, with_bias, force_onehot=True)
+        for r, o, nm in zip(ref, out, ("fb_sum", "norm", "fb_bias")):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), rtol=2e-5, atol=1e-6, err_msg=nm
+            )
+        delta = jnp.asarray(rng.randn(G + 1, k).astype(np.float32) * 0.01)
+        delta_b = jnp.asarray(rng.randn(G + 1).astype(np.float32) * 0.01)
+        rw, rb = _fb_writeback(
+            jnp.copy(w), jnp.copy(b), cfb, delta, delta_b, with_bias,
+            force_onehot=False,
+        )
+        ow, ob = _fb_writeback(
+            jnp.copy(w), jnp.copy(b), cfb, delta, delta_b, with_bias,
+            force_onehot=True,
+        )
+        np.testing.assert_allclose(np.asarray(ow), np.asarray(rw), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb), rtol=2e-5, atol=1e-6)
