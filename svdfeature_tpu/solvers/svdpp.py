@@ -26,11 +26,17 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def __init__(self, mtype):
         super().__init__(mtype)
         self.users_per_batch = 128
+        # sort blocks by size when packing: ~3x less padding (faster rounds)
+        # at a small early-convergence cost; off by default for reference
+        # data-order parity
+        self.sort_blocks = 0
         self._plus_sharded = {}
 
     def set_param(self, name: str, val: str) -> None:
         if name == "users_per_batch":
             self.users_per_batch = int(val)
+        if name == "sort_blocks":
+            self.sort_blocks = int(val)
         super().set_param(name, val)
 
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
@@ -50,6 +56,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 num_user=m.param.num_user,
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
+                sort_blocks=bool(self.sort_blocks),
             )
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
