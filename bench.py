@@ -83,6 +83,42 @@ def main() -> None:
             f"WARNING: RMSE {rmse:.4f} vs golden {golden_rmse:.4f} out of tolerance",
             file=sys.stderr,
         )
+
+    # secondary metric: SVD++ (implicitFeedback workload) throughput —
+    # never allowed to break the primary metric
+    svdpp_eps = None
+    try:
+        from svdfeature_tpu.data.text import load_plus_text
+        from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+        with gzip.open(ROOT / "tests/fixtures/ml100k.base.group.feature.gz", "rt") as f:
+            base_text = f.read()
+        with gzip.open(ROOT / "tests/fixtures/ml100k.base.feedback.gz", "rt") as f:
+            fb_text = f.read()
+        pds = load_plus_text("x", "y", text=base_text, feedback_text=fb_text)
+        mtp = SVDTypeParam(format_type=1)
+        tp = SVDPPFeatureTrainer(mtp)
+        for n, v in [
+            ("base_score", "3"), ("learning_rate", "0.005"),
+            ("wd_item", "0.004"), ("wd_user", "0.004"),
+            ("wd_ufeedback", "0.004"), ("num_item", "1682"),
+            ("num_user", "943"), ("num_ufeedback", "1682"),
+            ("num_global", "0"), ("num_factor", "64"),
+            ("sort_blocks", "1"),  # packing knob, RMSE parity verified
+        ]:
+            tp.set_param(n, v)
+        tp.init_model()
+        tp.init_trainer()
+        tp.update_all(pds)
+        _ = int(tp.state.step)  # compile + sync
+        t0 = time.time()
+        for _ in range(5):
+            tp.update_all(pds)
+        _ = int(tp.state.step)
+        svdpp_eps = round(5 * pds.rows.num_row / (time.time() - t0))
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: svdpp secondary bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -93,6 +129,7 @@ def main() -> None:
                 "final_rmse": round(rmse, 5),
                 "golden_rmse": golden_rmse,
                 "rmse_ok": ok,
+                "svdpp_examples_per_sec": svdpp_eps,
                 "device": str(jax.devices()[0]),
             }
         )
