@@ -119,6 +119,110 @@ def _local_ids(idx, val, lo, n_local, dummy_local):
     return jnp.where(own, loc, dummy_local), jnp.where(own, val, 0.0)
 
 
+# ---- shared per-shard building blocks (used by the base sharded step and
+# the SVD++ sharded step, parallel/svdpp_mesh.py) ----------------------------
+
+
+def _sharded_forward(w, b, batch, hp, lo, n_local, dummy):
+    """Masked local gathers psum'd over model: (p_u, p_i, bias)."""
+    u_idx, u_val = batch["u_idx"], batch["u_val"]
+    i_idx, i_val = batch["i_idx"], batch["i_val"]
+    p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
+    p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
+    bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
+    if not hp.no_user_bias:
+        bias = bias + _local_gather_sum(b, u_idx, u_val, lo, n_local, dummy)
+    return jax.lax.psum((p_u, p_i, bias), "model")
+
+
+def _global_update_psum(g, batch, err, lr):
+    """Replicated global-bias update: implicit damping with psum'd batch
+    stats (matches ops/embed._update_global when the batch spans all data
+    shards)."""
+    gS = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
+        (err[:, None] * batch["g_val"]).reshape(-1)
+    )
+    gC2 = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
+        (batch["g_val"] * batch["g_val"]).reshape(-1)
+    )
+    gS, gC2 = jax.lax.psum((gS, gC2), "data")
+    return g + lr * gS / (1.0 + lr * gC2)
+
+
+def _apply_row_updates(w, b, batch, lr_err, p_u, p_i, hp, lo, n_local, dummy):
+    """All-gathered sparse updates, applied identically by every data
+    replica of a model shard — comm is O(D*B*k) activations over ICI,
+    never O(N*k) table gradients.  Returns (w, b, cu, ci): the updated
+    local slabs and per-local-row touch counts (every occurrence of an
+    owned index, value may be 0 — reference regularize() runs per index;
+    _touch_counts parity), psum'd over data."""
+    u_idx, u_val = batch["u_idx"], batch["u_val"]
+    i_idx, i_val = batch["i_idx"], batch["i_val"]
+    lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
+    li_idx, li_val = _local_ids(i_idx, i_val, lo, n_local, dummy)
+    coef_u = lr_err[:, None] * lu_val
+    coef_i = lr_err[:, None] * li_val
+    ag = lambda x: jax.lax.all_gather(x, "data")
+    g_lu, g_li = ag(lu_idx), ag(li_idx)
+    g_cu, g_ci = ag(coef_u), ag(coef_i)
+    g_pu, g_pi = ag(p_u), ag(p_i)
+    k = w.shape[1]
+    w = w.at[g_lu.reshape(-1)].add(
+        (g_cu[..., None] * g_pi[:, :, None, :]).reshape(-1, k)
+    )
+    w = w.at[g_li.reshape(-1)].add(
+        (g_ci[..., None] * g_pu[:, :, None, :]).reshape(-1, k)
+    )
+    b = b.at[g_li.reshape(-1)].add(g_ci.reshape(-1))
+    if not hp.no_user_bias:
+        b = b.at[g_lu.reshape(-1)].add(g_cu.reshape(-1))
+    own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
+    own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
+    cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
+        own_u.reshape(-1).astype(jnp.float32)
+    )
+    ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
+        own_i.reshape(-1).astype(jnp.float32)
+    )
+    cu, ci = jax.lax.psum((cu, ci), "data")
+    return w, b, cu, ci
+
+
+def _decay_clamp_scrub(w, b, g, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad):
+    """Eager L2 decay on touched rows, nonneg clamp, dummy-slot scrubs.
+
+    The redirect slot (last local row) received only zero-coef adds but
+    decay factors may have scaled it; it is scrubbed to exact zeros on the
+    tail shard (the global dummy region), as is the replicated g dummy."""
+    dummy = n_local - 1
+    cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
+    cg = jax.lax.psum(cg, "data")
+    fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
+        1.0 - lr * consts.wd_i_row, ci
+    )
+    w = w * fac[:, None]
+    g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+    fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
+    if not hp.no_user_bias:
+        fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
+    b = b * fac_b
+    if hp.user_nonnegative:
+        w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
+    if hp.item_nonnegative:
+        w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
+    is_tail = lo + dummy >= n_pad - 1
+    w = w.at[dummy].set(jnp.where(is_tail, 0.0, w[dummy]))
+    b = b.at[dummy].set(jnp.where(is_tail, 0.0, b[dummy]))
+    g = g.at[-1].set(0.0)
+    return w, b, g
+
+
+def _count_present(batch):
+    return jax.lax.psum(
+        jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"
+    )
+
+
 def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
     """The raw per-shard step body (state, batch, lr, consts) -> state.
 
@@ -145,97 +249,30 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
     def step(state: TrainState, batch, lr, consts: TrainConsts):
         # local shards
         w, b, g = state.w, state.b, state.g  # w:[n_local,k] b:[n_local]
-        shard_id = jax.lax.axis_index("model")
-        lo = shard_id * n_local
+        lo = jax.lax.axis_index("model") * n_local
         dummy = n_local - 1  # local redirect slot (values zeroed on use)
 
-        u_idx, u_val = batch["u_idx"], batch["u_val"]
-        i_idx, i_val = batch["i_idx"], batch["i_val"]
-
         # ---- forward: masked local gathers, psum over model
-        p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
-        p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
-        bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
-        if not hp.no_user_bias:
-            bias = bias + _local_gather_sum(b, u_idx, u_val, lo, n_local, dummy)
-        p_u, p_i, bias = jax.lax.psum((p_u, p_i, bias), "model")
+        p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
         score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
         score = score + jnp.einsum(
             "bs,bs->b", batch["g_val"], g[batch["g_idx"]]
         )  # g replicated
         pred = losses.map_active(score, hp.active_type)
         err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
-        lr_err = lr * err
 
-        # ---- scatter-add updates on locally-owned rows.
-        # The sparse update tuples (ids, coefs, factor vectors) are
-        # all-gathered over the data axis so every data-replica of a model
-        # shard applies the identical total update — comm is O(D*B*k)
-        # activations over ICI, never O(N*k) table gradients.
-        lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
-        li_idx, li_val = _local_ids(i_idx, i_val, lo, n_local, dummy)
-        coef_u = lr_err[:, None] * lu_val
-        coef_i = lr_err[:, None] * li_val
-        ag = lambda x: jax.lax.all_gather(x, "data")
-        g_lu_idx, g_li_idx = ag(lu_idx), ag(li_idx)  # [D, B, S]
-        g_coef_u, g_coef_i = ag(coef_u), ag(coef_i)
-        g_p_u, g_p_i = ag(p_u), ag(p_i)  # [D, B, k]
-        k = w.shape[1]
-        w = w.at[g_lu_idx.reshape(-1)].add(
-            (g_coef_u[..., None] * g_p_i[:, :, None, :]).reshape(-1, k)
+        # ---- all-gathered sparse updates + damped global update
+        w, b, cu, ci = _apply_row_updates(
+            w, b, batch, lr * err, p_u, p_i, hp, lo, n_local, dummy
         )
-        w = w.at[g_li_idx.reshape(-1)].add(
-            (g_coef_i[..., None] * g_p_u[:, :, None, :]).reshape(-1, k)
-        )
-        b = b.at[g_li_idx.reshape(-1)].add(g_coef_i.reshape(-1))
-        if not hp.no_user_bias:
-            b = b.at[g_lu_idx.reshape(-1)].add(g_coef_u.reshape(-1))
-        # global bias: replicated; sum contributions over data shards
-        g_upd = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
-            (lr_err[:, None] * batch["g_val"]).reshape(-1)
-        )
-        g = g + jax.lax.psum(g_upd, "data")
+        g = _global_update_psum(g, batch, err, lr)
 
-        # ---- decay on touched local rows (touch counts psum'd over data).
-        # A touch is every occurrence of an owned index — value may be 0
-        # (reference regularize() runs per index; _touch_counts parity).
-        own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
-        own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
-        cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
-            own_u.reshape(-1).astype(jnp.float32)
+        # ---- decay / clamp / scrub
+        w, b, g = _decay_clamp_scrub(
+            w, b, g, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad
         )
-        ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
-            own_i.reshape(-1).astype(jnp.float32)
-        )
-        cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
-        cu, ci = jax.lax.psum((cu, ci), "data")
-        cg = jax.lax.psum(cg, "data")
-        fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
-            1.0 - lr * consts.wd_i_row, ci
-        )
-        w = w * fac[:, None]
-        g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
-        fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
-        if not hp.no_user_bias:
-            fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
-        b = b * fac_b
 
-        # nonnegativity clamp on touched local rows (apex_svd_base.h:242-245)
-        if hp.user_nonnegative:
-            w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
-        if hp.item_nonnegative:
-            w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
-
-        # scrub the redirect slot (received zero-coef adds but decay factors
-        # may have scaled it; keep exact zeros) + the replicated g dummy slot
-        is_tail = lo + dummy >= n_pad - 1
-        w = w.at[dummy].set(jnp.where(is_tail, 0.0, w[dummy]))
-        b = b.at[dummy].set(jnp.where(is_tail, 0.0, b[dummy]))
-        g = g.at[-1].set(0.0)
-
-        nstep = state.step + jax.lax.psum(
-            jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"
-        )
+        nstep = state.step + _count_present(batch)
         return TrainState(
             w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
         )

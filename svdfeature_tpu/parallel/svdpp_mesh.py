@@ -21,11 +21,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import losses
 from ..ops.embed import HyperParams, TrainConsts, TrainState
-from .mesh import _local_gather_sum, _local_ids
+from .mesh import (
+    _apply_row_updates,
+    _count_present,
+    _decay_clamp_scrub,
+    _global_update_psum,
+    _sharded_forward,
+)
 
 
 def _make_svdpp_body(
@@ -76,14 +82,7 @@ def _make_svdpp_body(
 
         # ---- forward (rows sharded over data)
         gbias = state.g  # replicated
-        u_idx, u_val = batch["u_idx"], batch["u_val"]
-        i_idx, i_val = batch["i_idx"], batch["i_val"]
-        p_u = _local_gather_sum(w, u_idx, u_val, lo, n_local, dummy)
-        p_i = _local_gather_sum(w, i_idx, i_val, lo, n_local, dummy)
-        bias = _local_gather_sum(b, i_idx, i_val, lo, n_local, dummy)
-        if with_bias:
-            bias = bias + _local_gather_sum(b, u_idx, u_val, lo, n_local, dummy)
-        p_u, p_i, bias = jax.lax.psum((p_u, p_i, bias), "model")
+        p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
         p_u = p_u + fb_sum[slot]
         if with_bias:
             bias = bias + fb_bias[slot]
@@ -91,39 +90,12 @@ def _make_svdpp_body(
         score = score + jnp.einsum("bs,bs->b", batch["g_val"], gbias[batch["g_idx"]])
         pred = losses.map_active(score, hp.active_type)
         err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
-        lr_err = lr * err
 
-        # ---- global-bias update: implicit damping with psum'd batch stats
-        # (matches ops/embed._update_global when batch spans all data shards)
-        n_g = gbias.shape[0]
-        gS = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(
-            (err[:, None] * batch["g_val"]).reshape(-1)
+        # ---- all-gathered sparse updates + damped global update
+        w, b, cu, ci = _apply_row_updates(
+            w, b, batch, lr * err, p_u, p_i, hp, lo, n_local, dummy
         )
-        gC2 = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(
-            (batch["g_val"] * batch["g_val"]).reshape(-1)
-        )
-        gS, gC2 = jax.lax.psum((gS, gC2), "data")
-        gbias = gbias + lr * gS / (1.0 + lr * gC2)
-
-        # ---- all-gathered sparse updates (identical across data replicas)
-        lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
-        li_idx, li_val = _local_ids(i_idx, i_val, lo, n_local, dummy)
-        coef_u = lr_err[:, None] * lu_val
-        coef_i = lr_err[:, None] * li_val
-        ag = lambda x: jax.lax.all_gather(x, "data")
-        g_lu, g_li = ag(lu_idx), ag(li_idx)
-        g_cu, g_ci = ag(coef_u), ag(coef_i)
-        g_pu, g_pi = ag(p_u), ag(p_i)
-        k = w.shape[1]
-        w = w.at[g_lu.reshape(-1)].add(
-            (g_cu[..., None] * g_pi[:, :, None, :]).reshape(-1, k)
-        )
-        w = w.at[g_li.reshape(-1)].add(
-            (g_ci[..., None] * g_pu[:, :, None, :]).reshape(-1, k)
-        )
-        b = b.at[g_li.reshape(-1)].add(g_ci.reshape(-1))
-        if with_bias:
-            b = b.at[g_lu.reshape(-1)].add(g_cu.reshape(-1))
+        gbias = _global_update_psum(gbias, batch, err, lr)
 
         # ---- feedback writeback: replicated delta over the FULL pool,
         # masked to model-owned rows
@@ -148,46 +120,12 @@ def _make_svdpp_body(
             delta_b = dtmp_b * inv_norm
             b = b.at[flocc].add(delta_b[cfb["fb_block"]] * fval)
 
-        # ---- eager L2 decay on touched rows (counts psum'd over data).
-        # A touch is every occurrence of an owned index — value may be 0
-        # (reference regularize() runs per index; _touch_counts parity).
-        own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
-        own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
-        cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
-            own_u.reshape(-1).astype(jnp.float32)
+        # ---- decay / clamp / scrub (shared with the base sharded step)
+        w, b, gbias = _decay_clamp_scrub(
+            w, b, gbias, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad
         )
-        ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
-            own_i.reshape(-1).astype(jnp.float32)
-        )
-        cg = jnp.zeros((n_g,), jnp.float32).at[batch["g_idx"].reshape(-1)].add(1.0)
-        cu, ci = jax.lax.psum((cu, ci), "data")
-        cg = jax.lax.psum(cg, "data")
-        fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
-            1.0 - lr * consts.wd_i_row, ci
-        )
-        w = w * fac[:, None]
-        gbias = gbias * jnp.power(1.0 - lr * consts.wd_g_row, cg)
-        fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
-        if with_bias:
-            fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
-        b = b * fac_b
 
-        # nonnegativity clamp on touched local rows (apex_svd_base.h:242-245)
-        if hp.user_nonnegative:
-            w = jnp.where((cu > 0)[:, None], jnp.maximum(w, 0.0), w)
-        if hp.item_nonnegative:
-            w = jnp.where((ci > 0)[:, None], jnp.maximum(w, 0.0), w)
-
-        # scrub the global dummy row (last local row of the LAST model shard
-        # only — other shards' redirect slot is a real row, left untouched)
-        is_tail = lo + dummy >= n_pad - 1
-        w = w.at[dummy].set(jnp.where(is_tail, 0.0, w[dummy]))
-        b = b.at[dummy].set(jnp.where(is_tail, 0.0, b[dummy]))
-        gbias = gbias.at[-1].set(0.0)
-
-        nstep = state.step + jax.lax.psum(
-            jnp.sum(batch["weight"] > 0).astype(jnp.int32), "data"
-        )
+        nstep = state.step + _count_present(batch)
         return TrainState(
             w=w, b=b, g=gbias, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
         )

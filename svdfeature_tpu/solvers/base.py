@@ -152,20 +152,31 @@ class SVDFeatureTrainer:
         )
 
         need = self.mesh_data * self.mesh_model
-        if len(jax.devices()) < need:
+        devs = jax.devices()
+        if len(devs) < need:
+            # default platform may be a single accelerator (e.g. one TPU via
+            # a plugin) while a multi-device CPU platform is also available
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= need:
+                devs = cpus
+        if len(devs) < need:
             raise ValueError(
-                f"mesh_data*mesh_model={need} exceeds {len(jax.devices())} devices"
+                f"mesh_data*mesh_model={need} exceeds {len(devs)} devices"
             )
         if self.hp.reg_method != 0 or self.hp.reg_global != 0:
             raise NotImplementedError(
-                "multi-chip training supports eager L2 (reg_method=0, "
-                "reg_global=0); other reg modes run single-chip"
+                "multi-chip training supports eager L2 only (reg_method=0, "
+                "reg_global=0); unset mesh_data/mesh_model to train this "
+                "configuration on a single chip"
             )
         # data-sharded batches need B % mesh_data == 0
         if self.batch_size % self.mesh_data:
             self.batch_size += self.mesh_data - self.batch_size % self.mesh_data
         self._tbl_rows = int(self.state.w.shape[0])
-        self._mesh = make_mesh(self.mesh_data, self.mesh_model)
+        self._mesh = make_mesh(self.mesh_data, self.mesh_model, devs)
         self.state, self._n_pad = shard_state(self.state, self._mesh)
         self.consts = shard_consts(self.consts, self._mesh, self._n_pad)
         self._sharded_rounds = sharded_train_rounds(self._mesh, self.hp, self._n_pad)
@@ -306,8 +317,11 @@ class SVDFeatureTrainer:
     def predict_all(self, ds: CSRDataset) -> np.ndarray:
         stacked, nrow = self._pack(ds)
         if self._mesh is not None:
-            # prediction runs in the single-device layout
-            stacked = jax.device_put(jax.device_get(stacked))
+            # prediction runs in the single-device layout (cached copy)
+            hkey = ("host", id(ds))
+            if hkey not in self._pack_cache:
+                self._pack_cache[hkey] = jax.device_put(jax.device_get(stacked))
+            stacked = self._pack_cache[hkey]
         preds = predict_batches(self.state_or_model(), stacked, self.hp)
         return np.asarray(preds).reshape(-1)[:nrow]
 

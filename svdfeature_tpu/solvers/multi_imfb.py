@@ -19,6 +19,12 @@ from .svdpp import SVDPPFeatureTrainer
 
 
 class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
+    def _init_mesh(self) -> None:
+        raise NotImplementedError(
+            "multi-chip training (mesh_data/mesh_model) is implemented for "
+            "the base and SVD++ solvers; unset it for this solver"
+        )
+
     def __init__(self, mtype):
         super().__init__(mtype)
         self.disable_levels = set()

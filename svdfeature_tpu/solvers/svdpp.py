@@ -175,10 +175,21 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             return super().predict_all(ds)
         stacked, chunk_id, fb, perm, _ = entry
         if self._mesh is not None:
-            # prediction runs in the single-device layout
-            stacked = jax.device_put(jax.device_get(stacked))
-            fb = jax.device_put(jax.device_get(fb))
-            chunk_id = jax.device_put(jax.device_get(chunk_id))
+            # prediction runs in the single-device layout (cached copy for
+            # cached packs; PairSource epoch packs are fresh each call)
+            hkey = ("host", id(ds), "plus")
+            cached = isinstance(ds, PlusDataset) and hkey in self._pack_cache
+            if not cached:
+                host = (
+                    jax.device_put(jax.device_get(stacked)),
+                    jax.device_put(jax.device_get(chunk_id)),
+                    jax.device_put(jax.device_get(fb)),
+                )
+                if isinstance(ds, PlusDataset):
+                    self._pack_cache[hkey] = host
+            else:
+                host = self._pack_cache[hkey]
+            stacked, chunk_id, fb = host
         preds = np.asarray(
             predict_batches_plus(self.state_or_model(), stacked, chunk_id, fb, self.hp)
         ).reshape(-1)

@@ -20,10 +20,13 @@ import __graft_entry__ as ge
 
 
 @pytest.mark.parametrize("n_data,n_model", [(1, 1), (2, 1), (1, 2), (4, 2)])
-def test_sharded_step_matches_single(n_data, n_model):
+@pytest.mark.parametrize("num_global", [0, 5])
+def test_sharded_step_matches_single(n_data, n_model, num_global):
     if len(cpu_devices()) < n_data * n_model:
         pytest.skip("not enough devices")
-    state, batch, hp, consts = ge._toy_setup(batch_size=8 * max(n_data, 1), k=8)
+    state, batch, hp, consts = ge._toy_setup(
+        batch_size=8 * max(n_data, 1), k=8, num_global=num_global
+    )
     # single-device ground truth
     ref = train_step(
         jax.tree.map(jnp.copy, state), batch, jnp.float32(0.005), consts, hp
