@@ -346,7 +346,10 @@ def _apply_factor_reg(
     raise ValueError(f"unknown reg_method {m}")
 
 
-def _train_step_fused(state, batch, lr, consts, hp: HyperParams) -> TrainState:
+def _train_step_fused(
+    state, batch, lr, consts, hp: HyperParams,
+    p_u_extra=None, bias_extra=None, return_err_pi=False,
+):
     """Hot-path step: small table, single-feature u/i segments, eager L2.
 
     HBM-traffic-minimal form of the one-hot step: the [B, N] one-hot of
@@ -354,6 +357,10 @@ def _train_step_fused(state, batch, lr, consts, hp: HyperParams) -> TrainState:
     count are stacked into one [B, k+2] payload applied by a single E^T
     matmul per segment (MXU, f32 accumulation).  Forward reads use native
     row gathers (TPU gathers are fast; only scatters serialize).
+
+    p_u_extra/bias_extra inject the SVD++ feedback term (same contract as
+    forward_scores); return_err_pi additionally returns (err, p_i) for the
+    SVD++ feedback recurrence (ops/svdpp._row_update).
     """
     w, b, g = state.w, state.b, state.g
     n_ui, k = w.shape
@@ -363,11 +370,15 @@ def _train_step_fused(state, batch, lr, consts, hp: HyperParams) -> TrainState:
 
     # ---- forward: native row gathers
     p_u = u_val[:, None] * w[u_idx]
+    if p_u_extra is not None:
+        p_u = p_u + p_u_extra
     p_i = i_val[:, None] * w[i_idx]
     score = hp.base_score + _gather_sum(g, g_idx, batch["g_val"])
     score = score + i_val * b[i_idx]
     if not hp.no_user_bias:
         score = score + u_val * b[u_idx]
+        if bias_extra is not None:
+            score = score + bias_extra
     score = score + jnp.einsum("bk,bk->b", p_u, p_i)
     pred = losses.map_active(score, hp.active_type)
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
@@ -413,9 +424,12 @@ def _train_step_fused(state, batch, lr, consts, hp: HyperParams) -> TrainState:
     b = b.at[-1].set(0.0)
     g = g.at[-1].set(0.0)
     nstep = state.step + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
-    return TrainState(
+    new_state = TrainState(
         w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
     )
+    if return_err_pi:
+        return new_state, err, p_i
+    return new_state
 
 
 def _can_fuse(hp: HyperParams, batch, n_ui: int) -> bool:

@@ -39,11 +39,13 @@ from .embed import (
     TrainConsts,
     TrainState,
     _apply_factor_reg,
+    _can_fuse,
     _onehot,
     _scatter_rows,
     _scatter_vals,
     _soft_threshold,
     _touch_counts,
+    _train_step_fused,
     _update_global,
     _use_onehot,
     forward_scores,
@@ -200,6 +202,11 @@ def _row_update(
     """One batch of per-row updates WITHOUT feedback aggregation/writeback
     (those are chunk-level in train_epoch_plus).  Returns (state, err, p_i)
     for the caller's feedback recurrence."""
+    if bias_plugin is None and _can_fuse(hp, batch, state.w.shape[0]):
+        return _train_step_fused(
+            state, batch, lr, consts, hp, p_u_extra, bias_extra,
+            return_err_pi=True,
+        )
     w, b, g = state.w, state.b, state.g
     n_ui, n_g = w.shape[0], g.shape[0]
     u_idx, i_idx, g_idx = batch["u_idx"], batch["i_idx"], batch["g_idx"]

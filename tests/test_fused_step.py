@@ -80,3 +80,30 @@ def test_fb_onehot_forms_match_plain():
         )
         np.testing.assert_allclose(np.asarray(ow), np.asarray(rw), rtol=2e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ob), np.asarray(rb), rtol=2e-5, atol=1e-6)
+
+
+def test_fused_row_update_with_feedback_extras():
+    """_train_step_fused with p_u_extra/bias_extra (the SVD++ per-row path)
+    must match the general _row_update."""
+    from svdfeature_tpu.ops.embed import _train_step_fused
+    from svdfeature_tpu.ops.svdpp import _row_update
+
+    state, batch, hp, consts = ge._toy_setup(batch_size=32, k=8, num_global=3)
+    rng = np.random.RandomState(7)
+    p_u_extra = jnp.asarray(rng.randn(32, 8).astype(np.float32) * 0.1)
+    bias_extra = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    lr = jnp.float32(0.01)
+    ref, ref_err, ref_pi = _row_update(
+        jax.tree.map(jnp.copy, state), batch, lr, consts, hp, p_u_extra, bias_extra
+    )
+    out, err, p_i = _train_step_fused(
+        jax.tree.map(jnp.copy, state), batch, lr, consts, hp,
+        p_u_extra, bias_extra, return_err_pi=True,
+    )
+    np.testing.assert_allclose(np.asarray(err), np.asarray(ref_err), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_i), np.asarray(ref_pi), rtol=2e-5, atol=1e-6)
+    for name in ("w", "b", "g"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=2e-5, atol=1e-6, err_msg=name,
+        )
