@@ -70,6 +70,27 @@ class PackedPlusBatches:
         return {"fb_idx": self.fb_idx, "fb_val": self.fb_val, "fb_block": self.fb_block}
 
 
+def compute_fb_overlap(fb_idx, fb_val, fb_block, G: int) -> np.ndarray:
+    """Per-chunk user-overlap matrices O[u,v] = sum_f val_uf * val_vf over
+    shared feedback ids — the closed form of "how one user's feedback
+    writeback shifts another's re-gathered feedback sum"
+    (ops/svdpp.train_epoch_plus carries fb_sum with fb_sum += O @ delta
+    instead of re-gathering the pool every batch).  Recompute after any
+    value filtering of the pool (e.g. bilinear start_ufeedback)."""
+    C = fb_idx.shape[0]
+    fb_overlap = np.zeros((C, G + 1, G + 1), np.float32)
+    for c in range(C):
+        live = fb_val[c] != 0
+        if not live.any():
+            continue
+        ids = fb_idx[c][live]
+        _, local = np.unique(ids, return_inverse=True)
+        P = np.zeros((G + 1, local.max() + 1), np.float32)
+        np.add.at(P, (fb_block[c][live], local), fb_val[c][live])
+        fb_overlap[c] = P @ P.T
+    return fb_overlap
+
+
 def merge_split_blocks(ds: PlusDataset) -> List[PlusBlock]:
     """Merge START..MIDDLE..END chunk sequences into logical blocks."""
     out: List[PlusBlock] = []
@@ -209,21 +230,7 @@ def pack_plus(
                 f0 += nf
         t0 += Tc
 
-    # per-chunk user-overlap matrices O[u,v] = sum_f val_uf * val_vf over
-    # shared feedback ids — the closed form of "how one user's feedback
-    # writeback shifts another's re-gathered feedback sum" (ops/svdpp.py
-    # train_epoch_plus carries fb_sum with fb_sum += O @ delta instead of
-    # re-gathering the pool every batch)
-    fb_overlap = np.zeros((C, G + 1, G + 1), np.float32)
-    for c in range(C):
-        live = fb_val[c] != 0
-        if not live.any():
-            continue
-        ids = fb_idx[c][live]
-        _, local = np.unique(ids, return_inverse=True)
-        P = np.zeros((G + 1, local.max() + 1), np.float32)
-        np.add.at(P, (fb_block[c][live], local), fb_val[c][live])
-        fb_overlap[c] = P @ P.T
+    fb_overlap = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
 
     return PackedPlusBatches(
         chunk_id=chunk_id,

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from .embed import HyperParams, TrainConsts, TrainState, _soft_threshold
-from .svdpp import _fb_aggregates, _plus_step, forward_scores
+from .svdpp import (
+    _fb_aggregates,
+    _fb_writeback,
+    _plus_step,
+    _row_update,
+    forward_scores,
+)
 
 
 def _bi_bias(W_bi_pad, up_slot, i_idx_local, i_val):
@@ -86,6 +92,7 @@ def train_epoch_bi(
     stacked,
     chunk_id,
     fb,
+    fb_overlap,
     up,
     lr,
     consts: TrainConsts,
@@ -98,6 +105,112 @@ def train_epoch_bi(
     reg_bi: int = 0,
     off_item: int = 0,
 ):
+    """Pool work O(chunks) via the pack-time overlap closed form — same
+    scheme as ops/svdpp.train_epoch_plus (see its docstring), extended
+    with the bilinear plugin bias + W_bi update per batch.  fb_overlap
+    must be computed from the FILTERED pool values (start_ufeedback)."""
+    import dataclasses
+
+    T, G = stacked["label"].shape
+    k = state.w.shape[1]
+    lr_fb = lr * scale_lr_ufeedback
+    d = 1.0 - lr_fb * wd_ufeedback
+    db = 1.0 - lr_fb * wd_ufeedback_bias
+    lr_bi = lr * slr_bi
+    num_item = W_bi.shape[0]
+    with_bias = not hp.no_user_bias
+    W_bi_pad = jnp.concatenate([W_bi, jnp.zeros((1, W_bi.shape[1]))], axis=0)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
+    )
+
+    def flush(st, cid, dacc, dbacc):
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        w, b = _fb_writeback(
+            st.w, st.b, cfb, dacc, dbacc if with_bias else None, with_bias
+        )
+        return dataclasses.replace(st, w=w, b=b)
+
+    def body(carry, xs):
+        st, Wb, pc, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = carry
+        batch, cid, first = xs
+
+        def on_boundary(op):
+            st, pc, dacc, dbacc = op
+            st = flush(st, pc, dacc, dbacc)
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            s, nrm, sb = _fb_aggregates(st.w, st.b, cfb, G + 1, with_bias)
+            nrm = nrm[:G]
+            inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+            return (
+                st, fb_overlap[cid], s[:G], sb[:G], nrm, inv,
+                jnp.zeros_like(dacc), jnp.zeros_like(dbacc),
+            )
+
+        def off_boundary(op):
+            st, pc, dacc, dbacc = op
+            return st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc
+
+        st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = jax.lax.cond(
+            first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
+        )
+        up_slot = up[cid][:G]  # [G, nbf]
+        lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
+        plug = _bi_bias(Wb, up_slot, lid, batch["i_val"])
+        st, err, p_i = _row_update(
+            st, batch, lr, consts, hp,
+            fb_sum, fb_bias if with_bias else None, bias_plugin=plug,
+        )
+        Wb = _bi_step(Wb, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item)
+        present = batch["weight"]
+        dtmp = (
+            fb_sum * (d - 1.0) * present[:, None]
+            + lr_fb * norm[:, None] * (err[:, None] * p_i)
+        )
+        delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
+        dacc = dacc + delta_pad
+        fb_sum = fb_sum + (O @ delta_pad)[:G]
+        if with_bias:
+            dtmp_b = fb_bias * (db - 1.0) * present + lr_fb * norm * err
+            delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
+            dbacc = dbacc + delta_b_pad
+            fb_bias = fb_bias + (O @ delta_b_pad)[:G]
+        return (st, Wb, cid, O, fb_sum, fb_bias, norm, inv, dacc, dbacc), None
+
+    z = jnp.zeros((G, k), jnp.float32)
+    zb = jnp.zeros((G,), jnp.float32)
+    init = (
+        state, W_bi_pad, jnp.int32(0), jnp.zeros((G + 1, G + 1), jnp.float32),
+        z, zb, zb, zb,
+        jnp.zeros((G + 1, k), jnp.float32), jnp.zeros((G + 1,), jnp.float32),
+    )
+    (state, W_bi_pad, last_cid, _, _, _, _, _, dacc, dbacc), _ = jax.lax.scan(
+        body, init, (stacked, chunk_id, is_first)
+    )
+    state = flush(state, last_cid, dacc, dbacc)
+    return state, W_bi_pad[:-1]
+
+
+@partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
+def train_epoch_bi_refresh(
+    state: TrainState,
+    W_bi,
+    stacked,
+    chunk_id,
+    fb,
+    up,
+    lr,
+    consts: TrainConsts,
+    hp: HyperParams,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+    slr_bi=1.0,
+    wd_bi=0.0,
+    reg_bi: int = 0,
+    off_item: int = 0,
+):
+    """Per-batch pool refresh fallback (common_feedback_space=1)."""
     lr_fb = lr * scale_lr_ufeedback
     d = 1.0 - lr_fb * wd_ufeedback
     db = 1.0 - lr_fb * wd_ufeedback_bias

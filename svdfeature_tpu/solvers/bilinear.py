@@ -30,7 +30,11 @@ import numpy as np
 from ..data.batching_plus import pack_plus
 from ..data.csr import PlusDataset
 from ..model import _read_t2d, _write_t2d
-from ..ops.svdpp_bilinear import predict_batches_bi, train_epoch_bi
+from ..ops.svdpp_bilinear import (
+    predict_batches_bi,
+    train_epoch_bi,
+    train_epoch_bi_refresh,
+)
 from .svdpp import SVDPPFeatureTrainer
 
 
@@ -125,10 +129,18 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             # filtered entries (they stay in the pool but contribute nothing
             # and receive no writeback since delta scales by their value)
             start = self.bparam.start_ufeedback
+            overlap = packed.fb_overlap
             if start > 0:
                 local = fb["fb_idx"] - m.off_ufeedback
                 keep = local >= start
                 fb = dict(fb, fb_val=np.where(keep, fb["fb_val"], 0.0).astype(np.float32))
+                # the overlap closed form must reflect the FILTERED pool
+                from ..data.batching_plus import compute_fb_overlap
+
+                overlap = compute_fb_overlap(
+                    fb["fb_idx"], fb["fb_val"], fb["fb_block"],
+                    packed.num_blocks_local,
+                )
             # dense user-property matrix per chunk slot: up[c, g, pid]
             nbf = self.bparam.num_bi_feedback
             C, F = packed.fb_idx.shape
@@ -146,6 +158,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 jax.device_put(fb),
                 packed.perm,
                 jax.device_put(up),
+                jax.device_put(overlap),
             )
             if not cache:
                 return entry
@@ -153,13 +166,29 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         return self._pack_cache[key]
 
     def _train_packed(self, entry) -> None:
-        stacked, chunk_id, fb, _, up = entry
+        stacked, chunk_id, fb, _, up, overlap = entry
+        if self.model.param.common_feedback_space:
+            # pool rows alias user rows: overlap closed form invalid,
+            # refresh per batch
+            self.state, self.W_bi = train_epoch_bi_refresh(
+                self.state, self.W_bi, stacked, chunk_id, fb, up,
+                jnp.float32(self.learning_rate), self.consts, self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+                self.slr_bi_feedback,
+                self.wd_bi_feedback,
+                self.reg_bi_feedback,
+                self.model.off_item,
+            )
+            return
         self.state, self.W_bi = train_epoch_bi(
             self.state,
             self.W_bi,
             stacked,
             chunk_id,
             fb,
+            overlap,
             up,
             jnp.float32(self.learning_rate),
             self.consts,
@@ -180,7 +209,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             entry = self._pack_plus(ds)
         else:
             return super(SVDPPFeatureTrainer, self).predict_all(ds)
-        stacked, chunk_id, fb, perm, up = entry
+        stacked, chunk_id, fb, perm, up, _ = entry
         preds = np.asarray(
             predict_batches_bi(
                 self.state_or_model(),

@@ -107,3 +107,112 @@ def test_fused_row_update_with_feedback_extras():
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=2e-5, atol=1e-6, err_msg=name,
         )
+
+
+def test_bilinear_carried_epoch_matches_refresh():
+    """train_epoch_bi (overlap closed form, filtered pool) must reproduce
+    the per-batch-refresh trajectory."""
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.ops.svdpp_bilinear import (
+        train_epoch_bi,
+        train_epoch_bi_refresh,
+    )
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.bilinear import SVDBiLinearTrainer
+
+    rng = np.random.RandomState(11)
+    data_lines, fb_lines = [], []
+    for u in range(10):
+        nrows = int(rng.randint(2, 6))
+        nfb = int(rng.randint(2, 6))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 15)}:{rng.rand():.3f}" for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 12)}:1"
+            )
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+    mt = SVDTypeParam(format_type=1, extend_type=15)
+    tr = SVDBiLinearTrainer(mt)
+    for n, v in dict(
+        num_user=10, num_item=12, num_ufeedback=15, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, wd_ufeedback=0.004,
+        num_bi_feedback=6, start_ufeedback=3, wd_bi_feedback=0.002,
+        users_per_batch=4,
+    ).items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    stacked, chunk_id, fb, _, up, overlap = tr._pack_plus(ds)
+    args_common = (
+        jnp.float32(0.01), tr.consts, tr.hp,
+        tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias, tr.slr_bi_feedback,
+        tr.wd_bi_feedback, tr.reg_bi_feedback, tr.model.off_item,
+    )
+    st1, wb1 = jax.tree.map(jnp.copy, tr.state), jnp.copy(tr.W_bi)
+    st2, wb2 = jax.tree.map(jnp.copy, tr.state), jnp.copy(tr.W_bi)
+    for _ in range(3):
+        st1, wb1 = train_epoch_bi(
+            st1, wb1, stacked, chunk_id, fb, overlap, up, *args_common
+        )
+        st2, wb2 = train_epoch_bi_refresh(
+            st2, wb2, stacked, chunk_id, fb, up, *args_common
+        )
+    np.testing.assert_allclose(np.asarray(st1.w), np.asarray(st2.w), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.b), np.asarray(st2.b), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wb1), np.asarray(wb2), rtol=1e-4, atol=1e-6)
+
+
+def test_svdpp_carried_epoch_matches_refresh():
+    """train_epoch_plus (overlap closed form) must reproduce the per-batch
+    refresh trajectory (train_epoch_plus_refresh)."""
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.ops.svdpp import train_epoch_plus, train_epoch_plus_refresh
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    rng = np.random.RandomState(13)
+    data_lines, fb_lines = [], []
+    for u in range(10):
+        nrows = int(rng.randint(2, 6))
+        nfb = int(rng.randint(1, 5))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 15)}:{rng.rand():.3f}" for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 12)}:1"
+            )
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+    mt = SVDTypeParam(format_type=1)
+    tr = SVDPPFeatureTrainer(mt)
+    for n, v in dict(
+        num_user=10, num_item=12, num_ufeedback=15, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, wd_ufeedback=0.004,
+        users_per_batch=4,
+    ).items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    stacked, chunk_id, fb, _, overlap = tr._pack_plus(ds)
+    args = (
+        jnp.float32(0.01), tr.consts, tr.hp,
+        tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    st1 = jax.tree.map(jnp.copy, tr.state)
+    st2 = jax.tree.map(jnp.copy, tr.state)
+    for _ in range(3):
+        st1 = train_epoch_plus(st1, stacked, chunk_id, fb, overlap, *args)
+        st2 = train_epoch_plus_refresh(st2, stacked, chunk_id, fb, *args)
+    np.testing.assert_allclose(np.asarray(st1.w), np.asarray(st2.w), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.b), np.asarray(st2.b), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.g), np.asarray(st2.g), rtol=1e-4, atol=1e-6)
