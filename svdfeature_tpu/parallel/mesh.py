@@ -152,10 +152,7 @@ def _global_update_psum(g, batch, err, lr):
 def _apply_row_updates(w, b, batch, lr_err, p_u, p_i, hp, lo, n_local, dummy):
     """All-gathered sparse updates, applied identically by every data
     replica of a model shard — comm is O(D*B*k) activations over ICI,
-    never O(N*k) table gradients.  Returns (w, b, cu, ci): the updated
-    local slabs and per-local-row touch counts (every occurrence of an
-    owned index, value may be 0 — reference regularize() runs per index;
-    _touch_counts parity), psum'd over data."""
+    never O(N*k) table gradients.  Returns the updated local slabs."""
     u_idx, u_val = batch["u_idx"], batch["u_val"]
     i_idx, i_val = batch["i_idx"], batch["i_val"]
     lu_idx, lu_val = _local_ids(u_idx, u_val, lo, n_local, dummy)
@@ -176,32 +173,49 @@ def _apply_row_updates(w, b, batch, lr_err, p_u, p_i, hp, lo, n_local, dummy):
     b = b.at[g_li.reshape(-1)].add(g_ci.reshape(-1))
     if not hp.no_user_bias:
         b = b.at[g_lu.reshape(-1)].add(g_cu.reshape(-1))
-    own_u = ((u_idx - lo) >= 0) & ((u_idx - lo) < n_local)
-    own_i = ((i_idx - lo) >= 0) & ((i_idx - lo) < n_local)
-    cu = jnp.zeros((n_local,), jnp.float32).at[lu_idx.reshape(-1)].add(
-        own_u.reshape(-1).astype(jnp.float32)
-    )
-    ci = jnp.zeros((n_local,), jnp.float32).at[li_idx.reshape(-1)].add(
-        own_i.reshape(-1).astype(jnp.float32)
-    )
-    cu, ci = jax.lax.psum((cu, ci), "data")
-    return w, b, cu, ci
+    return w, b
+
+
+def _touch_counts_sharded(batch, lo, n_local):
+    """(cu, ci) per-local-row touch counts, psum'd over data.  A touch is
+    every occurrence of an owned index, value may be 0 (reference
+    regularize() runs per index; ops/embed._touch_counts parity)."""
+    out = []
+    for seg in ("u", "i"):
+        idx = batch[f"{seg}_idx"]
+        loc = idx - lo
+        own = (loc >= 0) & (loc < n_local)
+        locc = jnp.where(own, loc, n_local - 1)
+        out.append(
+            jnp.zeros((n_local,), jnp.float32).at[locc.reshape(-1)].add(
+                own.reshape(-1).astype(jnp.float32)
+            )
+        )
+    return jax.lax.psum((out[0], out[1]), "data")
 
 
 def _decay_clamp_scrub(w, b, g, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad):
-    """Eager L2 decay on touched rows, nonneg clamp, dummy-slot scrubs.
+    """Eager per-row regularization (modes 0-3, via the single-device
+    helper — rows are fully local under row sharding), global decay,
+    bias decay, nonneg clamp, dummy-slot scrubs.
 
     The redirect slot (last local row) received only zero-coef adds but
     decay factors may have scaled it; it is scrubbed to exact zeros on the
     tail shard (the global dummy region), as is the replicated g dummy."""
+    from ..ops.embed import _apply_factor_reg, _soft_threshold
+
     dummy = n_local - 1
     cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
     cg = jax.lax.psum(cg, "data")
-    fac = jnp.power(1.0 - lr * consts.wd_u_row, cu) * jnp.power(
-        1.0 - lr * consts.wd_i_row, ci
-    )
-    w = w * fac[:, None]
-    g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+    if hp.reg_method < 4:
+        w = _apply_factor_reg(w, cu, ci, lr, consts, hp)
+    if hp.reg_global < 4:
+        if hp.reg_global == 0:
+            g = g * jnp.power(1.0 - lr * consts.wd_g_row, cg)
+        elif hp.reg_global == 1:
+            g = _soft_threshold(g, lr * consts.wd_g_row * cg)
+        else:
+            raise ValueError(f"unknown global decay method {hp.reg_global}")
     fac_b = jnp.power(1.0 - lr * consts.wd_item_bias, ci)
     if not hp.no_user_bias:
         fac_b = fac_b * jnp.power(1.0 - lr * consts.wd_user_bias, cu)
@@ -240,17 +254,41 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
     scatters the zero coefficient makes the add a no-op.
     """
     n_local = n_pad // n_model
-    if hp.reg_method != 0 or hp.reg_global != 0:
-        raise NotImplementedError(
-            "sharded step currently supports eager L2 (reg_method=0); "
-            "other modes run single-chip"
-        )
 
     def step(state: TrainState, batch, lr, consts: TrainConsts):
+        from ..ops.embed import _soft_threshold
+
         # local shards
         w, b, g = state.w, state.b, state.g  # w:[n_local,k] b:[n_local]
         lo = jax.lax.axis_index("model") * n_local
         dummy = n_local - 1  # local redirect slot (values zeroed on use)
+        step0 = state.step
+        ref_ui, ref_g = state.ref_ui, state.ref_g  # ref_ui local [n_local]
+        cu, ci = _touch_counts_sharded(batch, lo, n_local)
+
+        # ---- lazy-decay catch-up (reg >= 4) BEFORE the gradient, on the
+        # local slab (rows are fully local; mirrors ops/embed.train_step)
+        if hp.reg_method >= 4:
+            elapsed = (step0 - ref_ui).astype(jnp.float32)
+            touched = (cu + ci) > 0
+            k_ui = jnp.where(touched, elapsed, 0.0)
+            lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
+            if hp.reg_method == 4:
+                w = w * jnp.power(1.0 - lam, k_ui)[:, None]
+            else:
+                w = _soft_threshold(w, (lam * k_ui)[:, None])
+            ref_ui = jnp.where(touched, step0, ref_ui)
+        if hp.reg_global >= 4:
+            cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
+            cg = jax.lax.psum(cg, "data")
+            elapsed_g = (step0 - ref_g).astype(jnp.float32)
+            kg = jnp.where(cg > 0, elapsed_g, 0.0)
+            lam_g = lr * consts.wd_g_row
+            if hp.reg_global == 4:
+                g = g * jnp.power(1.0 - lam_g, kg)
+            else:
+                g = _soft_threshold(g, lam_g * kg)
+            ref_g = jnp.where(cg > 0, step0, ref_g)
 
         # ---- forward: masked local gathers, psum over model
         p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
@@ -262,7 +300,7 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
         err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
 
         # ---- all-gathered sparse updates + damped global update
-        w, b, cu, ci = _apply_row_updates(
+        w, b = _apply_row_updates(
             w, b, batch, lr * err, p_u, p_i, hp, lo, n_local, dummy
         )
         g = _global_update_psum(g, batch, err, lr)
@@ -272,9 +310,9 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
             w, b, g, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad
         )
 
-        nstep = state.step + _count_present(batch)
+        nstep = step0 + _count_present(batch)
         return TrainState(
-            w=w, b=b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+            w=w, b=b, g=g, step=nstep, ref_ui=ref_ui, ref_g=ref_g
         )
 
     return step

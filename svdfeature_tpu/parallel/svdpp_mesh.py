@@ -31,6 +31,7 @@ from .mesh import (
     _decay_clamp_scrub,
     _global_update_psum,
     _sharded_forward,
+    _touch_counts_sharded,
 )
 
 
@@ -45,8 +46,11 @@ def _make_svdpp_body(
     full-pool writeback identically.
     """
     n_local = n_pad // n_model
-    if hp.reg_method != 0 or hp.reg_global != 0:
-        raise NotImplementedError("sharded svdpp supports eager L2 only")
+    if hp.reg_method >= 4 or hp.reg_global >= 4:
+        raise NotImplementedError(
+            "sharded svdpp supports eager reg modes 0-3 (parity with the "
+            "single-device SVD++ path)"
+        )
     assert G % n_data == 0, "users_per_batch padded to a multiple of data axis"
     assert F % n_data == 0, "feedback pool padded to a multiple of the data axis"
     g_local = G // n_data
@@ -92,7 +96,8 @@ def _make_svdpp_body(
         err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
 
         # ---- all-gathered sparse updates + damped global update
-        w, b, cu, ci = _apply_row_updates(
+        cu, ci = _touch_counts_sharded(batch, lo, n_local)
+        w, b = _apply_row_updates(
             w, b, batch, lr * err, p_u, p_i, hp, lo, n_local, dummy
         )
         gbias = _global_update_psum(gbias, batch, err, lr)

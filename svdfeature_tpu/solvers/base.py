@@ -166,12 +166,7 @@ class SVDFeatureTrainer:
             raise ValueError(
                 f"mesh_data*mesh_model={need} exceeds {len(devs)} devices"
             )
-        if self.hp.reg_method != 0 or self.hp.reg_global != 0:
-            raise NotImplementedError(
-                "multi-chip training supports eager L2 only (reg_method=0, "
-                "reg_global=0); unset mesh_data/mesh_model to train this "
-                "configuration on a single chip"
-            )
+        self._check_mesh_supported()
         # data-sharded batches need B % mesh_data == 0
         if self.batch_size % self.mesh_data:
             self.batch_size += self.mesh_data - self.batch_size % self.mesh_data
@@ -180,6 +175,10 @@ class SVDFeatureTrainer:
         self.state, self._n_pad = shard_state(self.state, self._mesh)
         self.consts = shard_consts(self.consts, self._mesh, self._n_pad)
         self._sharded_rounds = sharded_train_rounds(self._mesh, self.hp, self._n_pad)
+
+    def _check_mesh_supported(self) -> None:
+        """Base solver: all reg modes are sharded (0-3 eager via the local
+        slab, 4/5 lazy via sharded ref counters)."""
 
     def _build_hp(self) -> HyperParams:
         p = self.model.param

@@ -39,6 +39,13 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self.sort_blocks = int(val)
         super().set_param(name, val)
 
+    def _check_mesh_supported(self) -> None:
+        if self.hp.reg_method >= 4 or self.hp.reg_global >= 4:
+            raise NotImplementedError(
+                "multi-chip SVD++ supports eager reg modes 0-3; unset "
+                "mesh_data/mesh_model for lazy reg"
+            )
+
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         key = id(ds)
         if not cache or key not in self._pack_cache:

@@ -51,11 +51,17 @@ def test_sharded_step_matches_single(n_data, n_model, num_global):
     assert int(out.step) == int(ref.step)
 
 
-def test_multi_step_trajectory():
-    """Run several sharded steps and compare the trajectory."""
+@pytest.mark.parametrize("reg_method", [0, 1, 2, 3, 4, 5])
+def test_multi_step_trajectory(reg_method):
+    """Run several sharded steps and compare the trajectory, across every
+    regularization mode (0-3 eager on the local slab, 4/5 lazy via
+    sharded ref counters)."""
+    import dataclasses
+
     if len(cpu_devices()) < 4:
         pytest.skip("not enough devices")
-    state, batch, hp, consts = ge._toy_setup(batch_size=16, k=8)
+    state, batch, hp, consts = ge._toy_setup(batch_size=16, k=8, num_global=4)
+    hp = dataclasses.replace(hp, reg_method=reg_method)
     ref = jax.tree.map(jnp.copy, state)
     lr = jnp.float32(0.01)
     for _ in range(5):
