@@ -134,3 +134,60 @@ def test_trainer_mesh_config_path():
     np.testing.assert_allclose(
         np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
     )
+
+
+def test_mesh_checkpoint_resume_parity():
+    """Save/load through the reference binary model format must preserve
+    the multi-chip training trajectory (continue= semantics)."""
+    import io
+
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_feature_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.base import SVDFeatureTrainer
+
+    text = "\n".join(
+        f"{(i % 5) + 1} 0 1 1 {i % 29}:1 {(i * 7) % 37}:1" for i in range(200)
+    )
+    ds = load_feature_text("x", text=text)
+    params = dict(
+        num_user=29, num_item=37, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, batch_size=32,
+        mesh_data=2, mesh_model=2,
+    )
+
+    def make():
+        tr = SVDFeatureTrainer(SVDTypeParam())
+        for n, v in params.items():
+            tr.set_param(n, str(v))
+        return tr
+
+    ref = make()
+    ref.init_model()
+    ref.init_trainer()
+    for _ in range(3):
+        ref.update_all(ds)
+
+    # train 2, checkpoint, resume in a FRESH trainer, train 1 more
+    a = make()
+    a.init_model()
+    a.init_trainer()
+    for _ in range(2):
+        a.update_all(ds)
+    buf = io.BytesIO()
+    a.save_model(buf)
+    buf.seek(0)
+    b = make()
+    b.load_model(buf)
+    b.init_trainer()
+    b.update_all(ds)
+
+    ref._sync_model_from_state()
+    b._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(b.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.model.b), np.asarray(ref.model.b), rtol=1e-4, atol=1e-5
+    )
