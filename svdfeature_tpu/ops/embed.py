@@ -352,11 +352,13 @@ def _train_step_fused(
 ):
     """Hot-path step: small table, single-feature u/i segments, eager L2.
 
-    HBM-traffic-minimal form of the one-hot step: the [B, N] one-hot of
-    each segment is read EXACTLY ONCE — the w-update, b-update and touch
-    count are stacked into one [B, k+2] payload applied by a single E^T
-    matmul per segment (MXU, f32 accumulation).  Forward reads use native
-    row gathers (TPU gathers are fast; only scatters serialize).
+    Semantics = train_step (pred apex_svd_base.h:445-454, update_no_decay
+    :383-427, eager regularize :188-283, nonneg clamp :242-245), in the
+    HBM-traffic-minimal one-hot form: the [B, N] one-hot of each segment
+    is read EXACTLY ONCE — the w-update, b-update and touch count are
+    stacked into one [B, k+2] payload applied by a single E^T matmul per
+    segment (MXU, f32 accumulation).  Forward reads use native row
+    gathers (TPU gathers are fast; only scatters serialize).
 
     p_u_extra/bias_extra inject the SVD++ feedback term (same contract as
     forward_scores); return_err_pi additionally returns (err, p_i) for the

@@ -216,3 +216,28 @@ def test_svdpp_carried_epoch_matches_refresh():
     np.testing.assert_allclose(np.asarray(st1.w), np.asarray(st2.w), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st1.b), np.asarray(st2.b), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st1.g), np.asarray(st2.g), rtol=1e-4, atol=1e-6)
+
+
+def test_compute_fb_overlap_brute_force():
+    """O[u,v] = sum over shared feedback ids of val_u * val_v."""
+    from svdfeature_tpu.data.batching_plus import compute_fb_overlap
+
+    rng = np.random.RandomState(5)
+    C, F, G = 2, 30, 4
+    fb_idx = rng.randint(0, 10, (C, F)).astype(np.int32)
+    fb_val = (rng.rand(C, F) * (rng.rand(C, F) > 0.3)).astype(np.float32)
+    fb_block = rng.randint(0, G + 1, (C, F)).astype(np.int32)
+    O = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
+    for c in range(C):
+        want = np.zeros((G + 1, G + 1), np.float32)
+        for u in range(G + 1):
+            for v in range(G + 1):
+                for f1 in range(F):
+                    for f2 in range(F):
+                        if (
+                            fb_block[c, f1] == u
+                            and fb_block[c, f2] == v
+                            and fb_idx[c, f1] == fb_idx[c, f2]
+                        ):
+                            want[u, v] += fb_val[c, f1] * fb_val[c, f2]
+        np.testing.assert_allclose(O[c], want, rtol=1e-5, atol=1e-6)
