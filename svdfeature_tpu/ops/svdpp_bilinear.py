@@ -240,28 +240,42 @@ def train_epoch_bi_refresh(
 def predict_batches_bi(
     state: TrainState, W_bi, stacked, chunk_id, fb, up, hp: HyperParams, off_item: int
 ):
+    """Forward-only predictions; tables are static so feedback aggregates
+    are gathered once per CHUNK (boundary cond), like predict_batches_plus."""
     with_bias = not hp.no_user_bias
     num_item = W_bi.shape[0]
+    T, G = stacked["label"].shape
+    k = state.w.shape[1]
     W_bi_pad = jnp.concatenate([W_bi, jnp.zeros((1, W_bi.shape[1]))], axis=0)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
+    )
 
-    def body(_, xs):
-        batch, cid = xs
-        cfb = jax.tree.map(lambda a: a[cid], fb)
-        G = batch["label"].shape[0]
-        fb_sum, _, fb_bias = _fb_aggregates(state.w, state.b, cfb, G + 1, with_bias)
+    def body(carry, xs):
+        fb_sum, fb_bias = carry
+        batch, cid, first = xs
+
+        def prepare(_):
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            s, _, sb = _fb_aggregates(state.w, state.b, cfb, G + 1, with_bias)
+            return s[:G], sb[:G]
+
+        fb_sum, fb_bias = jax.lax.cond(
+            first, prepare, lambda _: (fb_sum, fb_bias), None
+        )
         up_slot = up[cid][:G]
         lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
         plug = _bi_bias(W_bi_pad, up_slot, lid, batch["i_val"])
-        slot = jnp.arange(G)
         pred, _, _ = forward_scores(
             state,
             batch,
             hp,
-            fb_sum[slot],
-            (fb_bias[slot] if with_bias else None),
+            fb_sum,
+            (fb_bias if with_bias else None),
             bias_plugin=plug,
         )
-        return None, pred
+        return (fb_sum, fb_bias), pred
 
-    _, preds = jax.lax.scan(body, None, (stacked, chunk_id))
+    init = (jnp.zeros((G, k), jnp.float32), jnp.zeros((G,), jnp.float32))
+    _, preds = jax.lax.scan(body, init, (stacked, chunk_id, is_first))
     return preds
