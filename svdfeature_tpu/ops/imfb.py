@@ -156,15 +156,28 @@ def train_epoch_imfb(
 
 @partial(jax.jit, static_argnames=("hp",))
 def predict_batches_imfb(state: TrainState, stacked, chunk_id, fb, hp: HyperParams):
+    """Forward-only predictions; tables are static so the per-context
+    aggregates are gathered once per CHUNK (boundary cond)."""
     with_bias = not hp.no_user_bias
+    nseg = fb["ctx_depth"].shape[1] + 1
+    k = state.w.shape[1]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
+    )
 
-    def body(_, xs):
-        batch, cid = xs
-        cfb = jax.tree.map(lambda a: a[cid], fb)
+    def body(carry, xs):
+        fb_sum, fb_bias = carry
+        batch, cid, first = xs
+
+        def prepare(_):
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            s, _, sb = _ctx_aggregates(state.w, state.b, cfb, nseg, with_bias)
+            return s, sb
+
+        fb_sum, fb_bias = jax.lax.cond(
+            first, prepare, lambda _: (fb_sum, fb_bias), None
+        )
         ctx = batch["ctx_slots"]
-        M = int(fb["ctx_depth"].shape[1]) if hasattr(fb["ctx_depth"], "shape") else 0
-        nseg = fb["ctx_depth"].shape[1] + 1
-        fb_sum, _, fb_bias = _ctx_aggregates(state.w, state.b, cfb, nseg, with_bias)
         pred, _, _ = forward_scores(
             state,
             batch,
@@ -172,7 +185,8 @@ def predict_batches_imfb(state: TrainState, stacked, chunk_id, fb, hp: HyperPara
             fb_sum[ctx].sum(axis=1),
             fb_bias[ctx].sum(axis=1) if with_bias else None,
         )
-        return None, pred
+        return (fb_sum, fb_bias), pred
 
-    _, preds = jax.lax.scan(body, None, (stacked, chunk_id))
+    init = (jnp.zeros((nseg, k), jnp.float32), jnp.zeros((nseg,), jnp.float32))
+    _, preds = jax.lax.scan(body, init, (stacked, chunk_id, is_first))
     return preds
