@@ -87,7 +87,12 @@ class SVDTrainTask:
         return os.path.join(self.name_model_out_folder, "%04d.model" % counter)
 
     def sync_latest_model(self) -> bool:
-        """Find newest models/%04d.model >= start_counter (svd_feature.cpp:153-174)."""
+        """Find newest models/%04d.model >= start_counter (svd_feature.cpp:153-174).
+
+        The reference resumes with start_counter = first MISSING index
+        (svd_feature.cpp:168: the do-loop's s_counter overshoots the failed
+        open by one, so s_counter-1 is one past the loaded snapshot) — the
+        next trained round continues after the loaded one."""
         s = self.start_counter
         last = None
         while os.path.exists(self._model_path(s)):
@@ -100,7 +105,7 @@ class SVDTrainTask:
             self.trainer = create_svd_trainer(self.mtype)
             self._configure_trainer()
             self.trainer.load_model(f)
-        self.start_counter = s - 1
+        self.start_counter = s
         return True
 
     def _configure_trainer(self) -> None:
