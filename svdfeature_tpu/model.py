@@ -137,28 +137,52 @@ class SVDModel:
 
     @classmethod
     def rand_init(
-        cls, param: SVDModelParam, mtype: SVDTypeParam, seed: int = 10
+        cls,
+        param: SVDModelParam,
+        mtype: SVDTypeParam,
+        seed: int = 10,
+        exact_rng: bool = False,
     ) -> "SVDModel":
         """Gaussian init with the reference's ordering semantics
-        (apex_svd_model.h:665-705).  PRNG differs (numpy vs apex_random's
-        polar Box–Muller over libc rand) — parity is distributional.
+        (apex_svd_model.h:665-705).
+
+        Default PRNG is numpy (fast, vectorized; parity is distributional).
+        With ``exact_rng`` the draws come from the bit-exact apex_random
+        port (utils/apex_random.py) in the reference's fill order — user
+        factors, item factors, feedback factors — so a seeded init is
+        byte-identical to the reference binary's round-0 model snapshot
+        (verified vs .baseline/demo/*/0000.model in tests).
 
         Transforms base_score through the inverse link exactly once.
         """
         n, off_fb, off_u, off_i = cls.layout(param, mtype)
         k = param.num_factor
-        rng = np.random.RandomState(seed)
+        if exact_rng:
+            from .utils.apex_random import ApexRandom
+
+            rng = ApexRandom(seed)
+
+            def normal(sigma, shape):
+                # sd is a C float in the reference (SVDModelParam), so the
+                # double multiply sees the f32-rounded sigma
+                return rng.gaussian_array(shape, float(np.float32(sigma)))
+        else:
+            nprng = np.random.RandomState(seed)
+
+            def normal(sigma, shape):
+                return nprng.normal(0.0, sigma, shape)
+
         w = np.zeros((n, k), np.float32)
 
         # user factors
         nu = param.num_randinit_ufactor or param.num_user
-        w[off_u : off_u + nu] = rng.normal(0.0, param.u_init_sigma, (nu, k))
+        w[off_u : off_u + nu] = normal(param.u_init_sigma, (nu, k))
         if param.user_nonnegative:
             w[off_u : off_u + param.num_user] = np.abs(w[off_u : off_u + param.num_user])
         # item factors (skipped entirely when the latent space is shared)
         if param.common_latent_space == 0:
             ni = param.num_randinit_ifactor or param.num_item
-            w[off_i : off_i + ni] = rng.normal(0.0, param.i_init_sigma, (ni, k))
+            w[off_i : off_i + ni] = normal(param.i_init_sigma, (ni, k))
             if param.item_nonnegative:
                 w[off_i : off_i + ni] = np.abs(w[off_i : off_i + ni])
         # feedback factors last — with a shared feedback space this
@@ -166,9 +190,9 @@ class SVDModel:
         if mtype.format_type == svd_type.USER_GROUP_FORMAT:
             nf = param.num_ufeedback
             if param.common_feedback_space == 0:
-                w[off_fb : off_fb + nf] = rng.normal(0.0, param.ufeedback_init_sigma, (nf, k))
+                w[off_fb : off_fb + nf] = normal(param.ufeedback_init_sigma, (nf, k))
             else:
-                w[off_u : off_u + nf] = rng.normal(0.0, param.ufeedback_init_sigma, (nf, k))
+                w[off_u : off_u + nf] = normal(param.ufeedback_init_sigma, (nf, k))
 
         param = dataclasses.replace(
             param,

@@ -56,6 +56,10 @@ class HyperParams:
     base_score: float = 0.0
     # svd++ block fields filled by the svdpp solver
     svdpp: bool = False
+    # plain (undamped) global-bias update — exact reference semantics
+    # (apex_svd_base.h:384-387); selected at batch_size=1 where the
+    # batched divergence risk the damping guards against cannot occur
+    exact_global: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -188,22 +192,27 @@ def _scatter_vals(tab, idx, coef):
     return tab.at[idx.reshape(-1)].add(coef.reshape(-1))
 
 
-def _update_global(g, g_idx, g_val, err, lr):
-    """Global-bias update with implicit (proximal) damping.
+def _update_global(g, g_idx, g_val, err, lr, exact: bool = False):
+    """Global-bias update.
 
-    Global features can be nearly dense (e.g. the neighborhood demo's
-    popularity buckets appear in ~60% of examples), so a batch sums
-    hundreds of same-direction gradients that the reference's sequential
-    loop would have damped one by one — the plain scatter-add diverges.
-    The implicit-SGD step  dg = lr * S / (1 + lr * sum v^2)  reduces to the
-    plain update at multiplicity 1 (denominator 1+lr*v^2) and to the
-    within-batch least-squares step at high multiplicity — the fixed point
-    sequential SGD approaches within the batch.
+    ``exact`` (batch_size=1): the reference's plain step
+    ``g += lr*err*v`` (update_no_decay, apex_svd_base.h:384-387).
+
+    Batched: implicit (proximal) damping.  Global features can be nearly
+    dense (e.g. the neighborhood demo's popularity buckets appear in ~60%
+    of examples), so a batch sums hundreds of same-direction gradients
+    that the reference's sequential loop would have damped one by one —
+    the plain scatter-add diverges.  The implicit-SGD step
+    dg = lr * S / (1 + lr * sum v^2) approaches the within-batch
+    least-squares fixed point sequential SGD converges to.  This is a
+    documented deviation of the batched path (COMPONENTS.md row 6).
     """
     n_g = g.shape[0]
     S = jnp.zeros((n_g,), jnp.float32).at[g_idx.reshape(-1)].add(
         (err[:, None] * g_val).reshape(-1)
     )
+    if exact:
+        return g + lr * S
     C2 = jnp.zeros((n_g,), jnp.float32).at[g_idx.reshape(-1)].add(
         (g_val * g_val).reshape(-1)
     )
@@ -386,7 +395,7 @@ def _train_step_fused(
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
     lr_err = lr * err
 
-    g = _update_global(g, g_idx, batch["g_val"], err, lr)
+    g = _update_global(g, g_idx, batch["g_val"], err, lr, hp.exact_global)
     cg = _touch_counts(g.shape[0], g_idx)
 
     # ---- fused scatter: [dw | db | count] per segment in one matmul
@@ -499,7 +508,7 @@ def train_step(
     lr_err = lr * err  # [B]
 
     # --- scatter-add gradient (update_no_decay, apex_svd_base.h:383-427)
-    g = _update_global(g, g_idx, batch["g_val"], err, lr)
+    g = _update_global(g, g_idx, batch["g_val"], err, lr, hp.exact_global)
     coef_u = lr_err[:, None] * batch["u_val"]  # [B, Su]
     coef_i = lr_err[:, None] * batch["i_val"]
     w = _scatter_rows(w, u_idx, coef_u, p_i)
@@ -610,7 +619,7 @@ def _train_step_dense(state, batch, Eu, Ei, lr, consts, hp):
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
     lr_err = lr * err
 
-    g = _update_global(g, batch["g_idx"], batch["g_val"], err, lr)
+    g = _update_global(g, batch["g_idx"], batch["g_val"], err, lr, hp.exact_global)
     coef_u = lr_err * u_val
     coef_i = lr_err * i_val
     w = w + mm_t(Eu, coef_u[:, None] * p_i) + mm_t(Ei, coef_i[:, None] * p_u)

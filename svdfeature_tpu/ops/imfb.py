@@ -71,7 +71,7 @@ def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
     lr_err = lr * err
 
-    g = _update_global(g, g_idx, batch["g_val"], err, lr)
+    g = _update_global(g, g_idx, batch["g_val"], err, lr, hp.exact_global)
     coef_u = lr_err[:, None] * batch["u_val"]
     coef_i = lr_err[:, None] * batch["i_val"]
     w = _scatter_rows(w, u_idx, coef_u, p_i)

@@ -52,6 +52,10 @@ class SVDFeatureTrainer:
         # opt in with use_pallas=1
         self.use_pallas = False
         self.seed = 10
+        # exact_rng=1: init draws come from the bit-exact apex_random port
+        # (glibc rand), matching the reference binary's round-0 snapshot
+        # byte-for-byte; numpy RandomState otherwise (fast, vectorized)
+        self.exact_rng = False
         self.round_counter = 0
         self.learning_rate: float = 0.01
         self.model: Optional[SVDModel] = None
@@ -85,6 +89,8 @@ class SVDFeatureTrainer:
             self.mesh_model = int(val)
         if name == "seed":
             self.seed = int(val)
+        if name == "exact_rng":
+            self.exact_rng = bool(int(val))
         self.tparam.set_param(name, val)
         self.u_param.set_param(name, val)
         self.i_param.set_param(name, val)
@@ -94,7 +100,9 @@ class SVDFeatureTrainer:
 
     # ---- model lifecycle ----------------------------------------------------
     def init_model(self) -> None:
-        self.model = SVDModel.rand_init(self.mparam, self.mtype, seed=self.seed)
+        self.model = SVDModel.rand_init(
+            self.mparam, self.mtype, seed=self.seed, exact_rng=self.exact_rng
+        )
         self.mparam = self.model.param  # base_score transformed
         self._space_allocated = True
 
@@ -190,6 +198,10 @@ class SVDFeatureTrainer:
             user_nonnegative=p.user_nonnegative,
             item_nonnegative=p.item_nonnegative,
             base_score=float(p.base_score),
+            # batch_size=1 selects the reference's plain global update
+            # (apex_svd_base.h:384-387); larger batches use the damped
+            # batched variant (ops/embed._update_global)
+            exact_global=(self.batch_size == 1),
         )
 
     def _build_consts(self) -> TrainConsts:

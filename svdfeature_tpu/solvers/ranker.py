@@ -138,6 +138,12 @@ class SVDFeatureRanker:
                     for idx in u[0]:
                         idx = int(idx)
                         assert idx < n_item, "sample item index exceed bound"
+                        # an item may carry at most one tag per user section
+                        # (proc_tag, apex_svd_base.h:741-749: item_tag[idx]==0
+                        # asserted before tagging)
+                        assert idx not in cur["pos"] and idx not in cur["ban"], (
+                            "each pos sample item can not occur in baned sample list"
+                        )
                         (cur["pos"] if t == tag.POS_SAMPLE else cur["ban"]).append(idx)
                 elif t == tag.SPEC_SAMPLE:
                     assert len(u[0]) == 1, "must specify item index of sample"
@@ -173,10 +179,11 @@ class SVDFeatureRanker:
                 order = cand[np.argsort(-s[cand], kind="stable")]
                 out.extend(int(x) for x in order[: self.top_k])
             else:
-                # rank position of each positive among non-banned candidates
+                # rank position of each positive = its index in the
+                # descending-score sort of all NON-BANNED candidates
+                # (proc_rank, apex_svd_base.h:759-782: banned items are
+                # skipped before sorting; positives are always in the
+                # candidate list since pos+ban on one item asserts above)
                 for p in usr["pos"]:
-                    rank = int(np.sum(nonban & (s > s[p]))) if nonban[p] else int(
-                        np.sum(nonban & (s > s[p]))
-                    )
-                    out.append(rank)
+                    out.append(int(np.sum(nonban & (s > s[p]))))
         return np.asarray(out, np.int32)

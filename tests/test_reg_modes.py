@@ -32,10 +32,10 @@ def seq_reference(ds, w0, b0, g0, off_u, off_i, hp, n_user, n_item):
         score += pu @ pi
         pred = float(np.asarray(losses.map_active(np.float32(score), hp["at"])))
         err = float(np.asarray(losses.cal_grad(np.float32(label), np.float32(pred), hp["at"])))
-        # update (global uses the framework's implicit damping:
-        # dg = lr*err*v/(1+lr*v^2), see ops/embed._update_global)
+        # update — the reference's update_no_decay verbatim
+        # (apex_svd_base.h:384-387: g_bias[gid] += lr * err * value)
         for j, (idx, v) in enumerate(zip(gi, gv)):
-            g[idx] += lr * err * v / (1.0 + lr * v * v)
+            g[idx] += lr * err * v
         for idx, v in zip(ui, uv):
             w[idx] += lr * err * v * pi
             if not hp["no_user_bias"]:
