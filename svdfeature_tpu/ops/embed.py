@@ -60,6 +60,15 @@ class HyperParams:
     # (apex_svd_base.h:384-387); selected at batch_size=1 where the
     # batched divergence risk the damping guards against cannot occur
     exact_global: bool = False
+    # large-table row updates land via the Pallas per-row DMA kernel
+    # (ops/pallas_scatter.py); set by the solver when the tables live on
+    # TPU.  False = XLA .at[].set fallback (CPU, tests)
+    row_dma: bool = False
+    # route to the sorted-dedup large-table step (ops/big_embed.py);
+    # set by the solver when the table exceeds ONEHOT_THRESHOLD.
+    # num_factor carries k (the augmented rows are wider than k)
+    big_table: bool = False
+    num_factor: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -90,6 +99,25 @@ class TrainState:
     # lazy-decay last-touch counters (reg_method/reg_global >= 4), else size-0
     ref_ui: jax.Array  # [N+1] i32
     ref_g: jax.Array  # [G+1] i32
+
+
+def default_device_is_tpu() -> bool:
+    """Whether computations actually land on a TPU.
+
+    jax.default_backend() alone lies under the test harness: the axon
+    plugin keeps the TPU listed even with JAX_PLATFORMS=cpu, and tests
+    pin jax_default_device to cpu:0 instead (tests/conftest.py).
+    """
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", "") == "tpu" or "TPU" in str(dd)
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        d = jax.devices()[0]
+    except RuntimeError:
+        return False
+    return getattr(d, "platform", "") == "tpu" or "TPU" in str(d)
 
 
 def _use_onehot(n: int) -> bool:
@@ -464,6 +492,10 @@ def train_step(
     """One batched SGD step (random-order format)."""
     w, b, g = state.w, state.b, state.g
     n_ui = w.shape[0]
+    if hp.big_table:
+        from .big_embed import train_step_big
+
+        return train_step_big.__wrapped__(state, batch, lr, consts, hp)
     if _can_fuse(hp, batch, n_ui):
         return _train_step_fused(state, batch, lr, consts, hp)
     n_g = g.shape[0]
@@ -490,7 +522,9 @@ def train_step(
             w = w * jnp.power(1.0 - lam, k_ui)[:, None]
         else:
             w = _soft_threshold(w, (lam * k_ui)[:, None])
-        ref_ui = jnp.where(touched, step0, ref_ui)
+        # dummy ref pinned to 0 (its row is always 0; keeps parity with
+        # the big-table path, which lands duplicate writes there)
+        ref_ui = jnp.where(touched, step0, ref_ui).at[-1].set(0)
     if hp.reg_global >= 4:
         elapsed_g = (step0 - ref_g).astype(jnp.float32)
         kg = jnp.where(cg > 0, elapsed_g, 0.0)

@@ -35,6 +35,11 @@ DEFAULT_BATCH_SIZE = 1024
 class SVDFeatureTrainer:
     """Random-order-format trainer (ISVDTrainer contract, apex_svd.h:33-107)."""
 
+    # large tables route to the sorted-dedup augmented-row step
+    # (ops/big_embed.py); derived solvers whose epoch kernels drive the
+    # state directly (SVD++ family) opt out until wired
+    SUPPORTS_BIG_TABLE = True
+
     def __init__(self, mtype: SVDTypeParam):
         self.mtype = mtype
         self.mparam = SVDModelParam()
@@ -115,14 +120,24 @@ class SVDFeatureTrainer:
         self._sync_model_from_state()
         self.model.save(f)
 
+    def _std_state(self) -> TrainState:
+        """State in the standard (w,b,ref) layout regardless of the
+        big-table augmented packing."""
+        if self.hp is not None and self.hp.big_table:
+            from ..ops.big_embed import deaugment_state
+
+            return deaugment_state(self.state, self.hp.num_factor)
+        return self.state
+
     def _sync_model_from_state(self) -> None:
         if self.state is not None:
+            st = self._std_state()
             n = self.model.num_rows  # excludes dummy + mesh padding rows
             self.model = dataclasses.replace(
                 self.model,
-                w=self.state.w[:n],
-                b=self.state.b[:n],
-                g=self.state.g[:-1],
+                w=st.w[:n],
+                b=st.b[:n],
+                g=st.g[:-1],
             )
 
     # ---- trainer lifecycle ---------------------------------------------------
@@ -149,6 +164,10 @@ class SVDFeatureTrainer:
         self.round_counter = 0
         if self.mesh_data * self.mesh_model > 1:
             self._init_mesh()
+        elif self.hp.big_table:
+            from ..ops.big_embed import augment_state
+
+            self.state = augment_state(self.state, k)
 
     def _init_mesh(self) -> None:
         """Shard the trainer over a (mesh_data x mesh_model) device mesh."""
@@ -190,7 +209,19 @@ class SVDFeatureTrainer:
 
     def _build_hp(self) -> HyperParams:
         p = self.model.param
+        from ..ops.embed import ONEHOT_THRESHOLD, default_device_is_tpu
+
+        # the sorted-dedup big-table path applies off-mesh only (the mesh
+        # path row-shards the table into per-device slabs instead)
+        big = (
+            self.SUPPORTS_BIG_TABLE
+            and self.model.num_rows + 1 > ONEHOT_THRESHOLD
+            and self.mesh_data * self.mesh_model == 1
+        )
         return HyperParams(
+            big_table=big,
+            num_factor=p.num_factor if big else 0,
+            row_dma=big and default_device_is_tpu(),
             active_type=self.mtype.active_type,
             no_user_bias=p.no_user_bias,
             reg_method=self.tparam.reg_method,
@@ -339,6 +370,8 @@ class SVDFeatureTrainer:
     def state_or_model(self) -> TrainState:
         if self.state is None:
             self.init_trainer()
+        if self.hp is not None and self.hp.big_table:
+            return self._std_state()
         if self._mesh is not None:
             # inference uses the single-device layout: drop mesh padding rows
             n = self._tbl_rows

@@ -23,6 +23,10 @@ from .base import SVDFeatureTrainer
 
 
 class SVDPPFeatureTrainer(SVDFeatureTrainer):
+    # the SVD++ epoch kernels (ops/svdpp.py) drive the standard state
+    # layout directly; big-table routing not wired yet
+    SUPPORTS_BIG_TABLE = False
+
     def __init__(self, mtype):
         super().__init__(mtype)
         self.users_per_batch = 128
