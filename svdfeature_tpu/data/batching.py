@@ -120,6 +120,7 @@ def pack_csr(
     num_user: Optional[int] = None,
     num_item: Optional[int] = None,
     seg_caps: Optional[Tuple[int, int, int]] = None,
+    min_batches: Optional[int] = None,
 ) -> PackedBatches:
     """Pack a random-order dataset into stacked fixed-shape batches.
 
@@ -148,6 +149,10 @@ def pack_csr(
         segs.append((pi, pv))
 
     T = (R + batch_size - 1) // batch_size
+    if min_batches is not None:
+        # streaming: every chunk padded to the same batch count so one
+        # compilation covers the whole stream (empty batches are weight-0)
+        T = max(T, min_batches)
     Rp = T * batch_size
 
     def stack(a: np.ndarray, fill) -> np.ndarray:

@@ -55,13 +55,15 @@ class PackedPlusBatches:
     fb_val: np.ndarray  # [C, F]
     fb_block: np.ndarray  # [C, F] chunk-local block slot (pad = G)
     fb_overlap: np.ndarray  # [C, G+1, G+1]: O[u,v] = sum_f val_uf * val_vf
-    perm: np.ndarray  # [R]: dataset row -> packed slot (t*G + g)
+    perm: np.ndarray  # [R]: dataset row -> packed slot (t*G*M + g*M + m)
     num_blocks_local: int  # G
+    rows_per_user: int = 1  # M
 
     def device_arrays(self) -> Dict[str, np.ndarray]:
         d = dataclasses.asdict(self)
         for k in (
-            "perm", "num_blocks_local", "fb_idx", "fb_val", "fb_block", "fb_overlap"
+            "perm", "num_blocks_local", "rows_per_user",
+            "fb_idx", "fb_val", "fb_block", "fb_overlap",
         ):
             d.pop(k)
         return d
@@ -134,9 +136,18 @@ def pack_plus(
     num_item: Optional[int] = None,
     num_ufeedback: Optional[int] = None,
     sort_blocks: bool = False,
+    rows_per_user: int = 1,
 ) -> PackedPlusBatches:
+    """rows_per_user (M): consecutive rows of each user trained in the
+    same batch.  M=1 is the strict one-row-per-user layout; M>1 widens
+    the within-user Jacobi step to M rows (all read the same feedback
+    state and user factors; gradients sum), cutting the number of scan
+    steps per epoch by ~M — the per-user sequential chain is the epoch's
+    critical path (T >= ceil(max block size / M)).  RMSE parity verified
+    on the implicitFeedback demo up to M=8 (tests/test_svdpp_multirow)."""
     blocks = merge_split_blocks(ds)
     G = max(1, min(users_per_batch, len(blocks)))
+    M = max(1, rows_per_user)
 
     sizes = np.array([b.data.num_row for b in blocks], np.int64)
     if sort_blocks:
@@ -153,8 +164,9 @@ def pack_plus(
         1,
         max(int(sum(blocks[int(bi)].num_ufeedback for bi in ch)) for ch in chunks),
     )
-    Tcs = [int(sizes[ch].max()) for ch in chunks]
+    Tcs = [-(-int(sizes[ch].max()) // M) for ch in chunks]
     T = sum(Tcs)
+    GS = G * M  # slots per batch; slot = g*M + m
 
     rows_all = CSRDataset.concat([b.data for b in blocks])
     R = rows_all.num_row
@@ -180,14 +192,14 @@ def pack_plus(
 
     dummy_row = num_rows_table
     out = {
-        "label": np.zeros((T, G), np.float32),
-        "weight": np.zeros((T, G), np.float32),
-        "g_idx": np.full((T, G, seg_widths[0]), num_global, np.int32),
-        "g_val": np.zeros((T, G, seg_widths[0]), np.float32),
-        "u_idx": np.full((T, G, seg_widths[1]), dummy_row, np.int32),
-        "u_val": np.zeros((T, G, seg_widths[1]), np.float32),
-        "i_idx": np.full((T, G, seg_widths[2]), dummy_row, np.int32),
-        "i_val": np.zeros((T, G, seg_widths[2]), np.float32),
+        "label": np.zeros((T, GS), np.float32),
+        "weight": np.zeros((T, GS), np.float32),
+        "g_idx": np.full((T, GS, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T, GS, seg_widths[0]), np.float32),
+        "u_idx": np.full((T, GS, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T, GS, seg_widths[1]), np.float32),
+        "i_idx": np.full((T, GS, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T, GS, seg_widths[2]), np.float32),
     }
     chunk_id = np.zeros(T, np.int32)
     fb_idx = np.full((C, F), dummy_row, np.int32)
@@ -199,20 +211,22 @@ def pack_plus(
     for c, ch in enumerate(chunks):
         Tc = Tcs[c]
         chunk_id[t0 : t0 + Tc] = c
-        # dataset-row index grid [Tc, G]: row j of block slot g
+        # dataset-row grid: row j of user g -> batch t0 + j//M, slot g*M + j%M
         for g, bi in enumerate(ch):
             bi = int(bi)
             n = int(sizes[bi])
             r0 = int(block_starts[bi])
             rws = np.arange(r0, r0 + n)
-            t_ix = t0 + np.arange(n)
-            out["label"][t_ix, g] = rows_all.labels[rws]
-            out["weight"][t_ix, g] = 1.0
+            j = np.arange(n)
+            t_ix = t0 + j // M
+            s_ix = g * M + j % M
+            out["label"][t_ix, s_ix] = rows_all.labels[rws]
+            out["weight"][t_ix, s_ix] = 1.0
             for seg, key in enumerate(["g", "u", "i"]):
                 pi, pv = seg_padded[seg]
-                out[f"{key}_idx"][t_ix, g] = pi[rws]
-                out[f"{key}_val"][t_ix, g] = pv[rws]
-            perm[rws] = t_ix * G + g
+                out[f"{key}_idx"][t_ix, s_ix] = pi[rws]
+                out[f"{key}_val"][t_ix, s_ix] = pv[rws]
+            perm[rws] = t_ix * GS + s_ix
             blk = blocks[bi]
             nf = blk.num_ufeedback
             if nf:
@@ -236,6 +250,7 @@ def pack_plus(
         chunk_id=chunk_id,
         perm=perm,
         num_blocks_local=G,
+        rows_per_user=M,
         fb_idx=fb_idx,
         fb_val=fb_val,
         fb_block=fb_block,

@@ -47,6 +47,10 @@ class IteratorConfig:
         self.rank_sample_gap = 0.0001
         self.rank_sample_pointwise = 0
         self.seed_sampler_bytime = 0
+        # out-of-core streaming (data/streaming.py): read the binary
+        # buffer in bounded chunks instead of staging it whole
+        self.streaming = 0
+        self.stream_chunk = 1 << 20
         # combinators
         self.attach_skip = 1
         self.attach_insert = 1
@@ -66,7 +70,8 @@ class IteratorConfig:
         elif name in ("block_max_line", "feature_batch", "silent",
                       "rank_sample_num", "rank_sample_max", "rank_sample_method",
                       "rank_sample_pointwise", "seed_sampler_bytime",
-                      "attach_skip", "attach_insert"):
+                      "attach_skip", "attach_insert",
+                      "streaming", "stream_chunk"):
             setattr(self, name, int(val))
         elif name in ("filter_ufeedback", "filter_global"):
             a, b = val.split("-")
@@ -78,6 +83,16 @@ def load_csr_source(dtype: int, cfg: IteratorConfig) -> CSRDataset:
         from .pages import read_page_file
 
         return read_page_file(cfg.buffer_feature or "svdfeature_buf")
+    if dtype == it.BINARY_BUFFER and cfg.streaming:
+        from .streaming import StreamingCSRBuffer
+
+        path = cfg.buffer_feature or "svdfeature_buf"
+        if not os.path.exists(path):
+            if not cfg.silent:
+                print(f"can't open buffer {path}, creating from data_in={cfg.data_in}")
+            ds = load_feature_text(cfg.data_in, cfg.scale_score)
+            write_csr_buffer(path, ds, cfg.feature_batch)
+        return StreamingCSRBuffer(path, cfg.stream_chunk)
     if dtype == it.BINARY_BUFFER:
         path = cfg.buffer_feature or "svdfeature_buf"
         if not os.path.exists(path):

@@ -94,20 +94,27 @@ def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int):
 
         w = w_ref[:]  # [N, k]
         b = b_ref[:]  # [1, N] (kept 2-D for layout)
+        bvec = b[0, :]
 
+        # ---- forward: native VMEM row gathers (the one-hot is only
+        # needed on the scatter side — the jnp fused path's trick,
+        # ops/embed._train_step_fused, moved into the kernel)
+        p_u = u_val[:, None] * jnp.take(w, u_idx, axis=0)
+        p_i = i_val[:, None] * jnp.take(w, i_idx, axis=0)
+        score = hp.base_score + jnp.sum(p_u * p_i, axis=1)
+        score = score + i_val * jnp.take(bvec, i_idx)
+        if with_user_bias:
+            score = score + u_val * jnp.take(bvec, u_idx)
+        pred = losses.map_active(score, at)
+        err = losses.cal_grad(label, pred, at) * weight
+        lr_err = lr * err
+
+        # ---- scatter: ONE [B,N] one-hot read per segment, with the
+        # w-update, b-update and touch count stacked into a [B, k+2]
+        # payload matmul (duplicates sum on the MXU)
         iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-        Eu = (u_idx[:, None] == iota).astype(jnp.bfloat16)  # [B, N] VMEM-only
+        Eu = (u_idx[:, None] == iota).astype(jnp.bfloat16)  # VMEM-only
         Ei = (i_idx[:, None] == iota).astype(jnp.bfloat16)
-
-        def mm(E, m):
-            # E [B,N] bf16 @ m [N,c] with the f32 operand split into a
-            # bf16 hi + bf16 lo correction: exact to ~2^-16 relative
-            hi = m.astype(jnp.bfloat16)
-            lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((1,), (0,)), ((), ()))
-            return jax.lax.dot_general(
-                E, hi, dn, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(E, lo, dn, preferred_element_type=jnp.float32)
 
         def mm_t(E, x):
             # E^T @ x contracting the batch axis (no transpose materialized);
@@ -117,30 +124,25 @@ def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int):
                 E, x.astype(jnp.bfloat16), dn, preferred_element_type=jnp.float32
             )
 
-        # ---- forward
-        p_u = u_val[:, None] * mm(Eu, w)
-        p_i = i_val[:, None] * mm(Ei, w)
-        score = hp.base_score + jnp.sum(p_u * p_i, axis=1)
-        bvec = b[0, :]
-        score = score + i_val * mm(Ei, bvec[:, None])[:, 0]
-        if with_user_bias:
-            score = score + u_val * mm(Eu, bvec[:, None])[:, 0]
-        pred = losses.map_active(score, at)
-        err = losses.cal_grad(label, pred, at) * weight
-        lr_err = lr * err
-
-        # ---- scatter-add via contracted matmuls (duplicates sum on the MXU)
         coef_u = lr_err * u_val  # [B]
         coef_i = lr_err * i_val
-        w = w + mm_t(Eu, coef_u[:, None] * p_i) + mm_t(Ei, coef_i[:, None] * p_u)
-        db = mm_t(Ei, coef_i[:, None])[:, 0]
+        ones = jnp.ones((B, 1), jnp.float32)
+        pay_u = jnp.concatenate(
+            [coef_u[:, None] * p_i, coef_u[:, None], ones], axis=1
+        )
+        pay_i = jnp.concatenate(
+            [coef_i[:, None] * p_u, coef_i[:, None], ones], axis=1
+        )
+        out_u = mm_t(Eu, pay_u)  # [N, k+2]
+        out_i = mm_t(Ei, pay_i)
+        cu = out_u[:, k + 1]
+        ci = out_i[:, k + 1]
+        w = w + out_u[:, :k] + out_i[:, :k]
+        bvec = bvec + out_i[:, k]
         if with_user_bias:
-            db = db + mm_t(Eu, coef_u[:, None])[:, 0]
-        bvec = bvec + db
+            bvec = bvec + out_u[:, k]
 
         # ---- eager L2 decay with touch multiplicity
-        cu = jnp.sum(Eu.astype(jnp.float32), axis=0)  # [N]
-        ci = jnp.sum(Ei.astype(jnp.float32), axis=0)
         fac = jnp.power(1.0 - lr * wd_u_ref[0, :], cu) * jnp.power(
             1.0 - lr * wd_i_ref[0, :], ci
         )

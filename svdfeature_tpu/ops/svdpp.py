@@ -113,26 +113,33 @@ def _fb_writeback(w, b, cfb, delta_pad, delta_b_pad, with_bias, force_onehot=Non
 
 def _plus_step(
     state, batch, cfb, lr, consts, hp, fb_hyper,
-    bias_plugin=None, return_err=False,
+    bias_plugin=None, return_err=False, rows_per_user: int = 1,
 ):
-    """One batch (one row per user) with fresh feedback + direct writeback."""
+    """One batch (M rows per user) with fresh feedback + direct writeback."""
     lr_fb, d, db = fb_hyper
     w, b, g = state.w, state.b, state.g
     n_ui, n_g = w.shape[0], g.shape[0]
     u_idx, i_idx, g_idx = batch["u_idx"], batch["i_idx"], batch["g_idx"]
     with_bias = not hp.no_user_bias
-    G = batch["label"].shape[0]
+    M = rows_per_user
+    GS = batch["label"].shape[0]
+    G = GS // M
+    k = w.shape[1]
     nseg = G + 1
 
     fb_sum, norm, fb_bias = _fb_aggregates(w, b, cfb, nseg, with_bias)
-    slot = jnp.arange(G)  # user g of this batch is block slot g
 
     cu = _touch_counts(n_ui, u_idx)
     ci = _touch_counts(n_ui, i_idx)
     cg = _touch_counts(n_g, g_idx)
 
-    p_u_extra = fb_sum[slot]
-    bias_extra = fb_bias[slot] if with_bias else None
+    # slot = g*M + m: expand per-user aggregates to slots
+    p_u_extra = jnp.repeat(fb_sum[:G], M, axis=0) if M > 1 else fb_sum[:G]
+    bias_extra = (
+        (jnp.repeat(fb_bias[:G], M) if M > 1 else fb_bias[:G])
+        if with_bias
+        else None
+    )
     pred, p_u, p_i = forward_scores(
         state, batch, hp, p_u_extra, bias_extra, bias_plugin
     )
@@ -148,17 +155,29 @@ def _plus_step(
     if with_bias:
         b = _scatter_vals(b, u_idx, coef_u)
 
-    # feedback writeback: one reference row-update per present user
-    present = batch["weight"]  # [G]
+    # feedback writeback: the reference per-row recurrence applied for the
+    # user's M simultaneous rows (update_svdpp, apex_svd_base.h:512-520)
+    present = batch["weight"]  # [GS]
+    m_g = present.reshape(G, M).sum(axis=1)
+    errpi = (err[:, None] * p_i).reshape(G, M, k).sum(axis=1)
+    err_g = err.reshape(G, M).sum(axis=1)
+    if M > 1:
+        # implicit damping of the M-wide Jacobi step (see train_epoch_plus)
+        frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+        pip2 = jnp.sum(p_i * p_i, axis=1).reshape(G, M).sum(axis=1)
+        errpi = errpi / (1.0 + lr_fb * norm[:G] * pip2 * frac)[:, None]
+        err_g = err_g / (1.0 + lr_fb * norm[:G] * (m_g - 1.0) * (m_g > 0))
     inv_norm = jnp.where(norm[:G] > 0, 1.0 / jnp.maximum(norm[:G], 1e-30), 0.0)
     dtmp = (
-        fb_sum[:G] * (d - 1.0) * present[:, None]
-        + lr_fb * norm[:G, None] * (err[:, None] * p_i)
+        fb_sum[:G] * (jnp.power(d, m_g) - 1.0)[:, None]
+        + lr_fb * norm[:G, None] * errpi
     )
     delta = dtmp * inv_norm[:, None]  # [G, k]
-    delta_pad = jnp.concatenate([delta, jnp.zeros((1, w.shape[1]))], axis=0)
+    delta_pad = jnp.concatenate([delta, jnp.zeros((1, k))], axis=0)
     if with_bias:
-        dtmp_b = fb_bias[:G] * (db - 1.0) * present + lr_fb * norm[:G] * err
+        dtmp_b = (
+            fb_bias[:G] * (jnp.power(db, m_g) - 1.0) + lr_fb * norm[:G] * err_g
+        )
         delta_b = dtmp_b * inv_norm
         delta_b_pad = jnp.concatenate([delta_b, jnp.zeros((1,))])
     else:
@@ -260,7 +279,11 @@ def _row_update(
     return new_state, err, p_i
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "rows_per_user"),
+    donate_argnames=("state",),
+)
 def train_epoch_plus(
     state: TrainState,
     stacked,
@@ -273,6 +296,7 @@ def train_epoch_plus(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ):
     """One pass over [T, G] batches, pool work O(chunks) not O(batches).
 
@@ -294,7 +318,9 @@ def train_epoch_plus(
     """
     import dataclasses
 
-    T, G = stacked["label"].shape
+    T, GS = stacked["label"].shape
+    M = rows_per_user
+    G = GS // M  # users per batch; slot = g*M + m (data/batching_plus.py)
     k = state.w.shape[1]
     lr_fb = lr * scale_lr_ufeedback
     d = 1.0 - lr_fb * wd_ufeedback
@@ -334,19 +360,44 @@ def train_epoch_plus(
         st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = jax.lax.cond(
             first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
         )
-        st, err, p_i = _row_update(
-            st, batch, lr, consts, hp, fb_sum, fb_bias if with_bias else None
+        # each of a user's M rows this batch reads the same feedback state
+        # (within-user Jacobi of width M; reference is the M=1 sequential
+        # recurrence update_svdpp, apex_svd_base.h:512-520)
+        fb_slot = jnp.repeat(fb_sum, M, axis=0) if M > 1 else fb_sum
+        fbb_slot = (
+            (jnp.repeat(fb_bias, M) if M > 1 else fb_bias) if with_bias else None
         )
+        st, err, p_i = _row_update(st, batch, lr, consts, hp, fb_slot, fbb_slot)
         present = batch["weight"]
+        m_g = present.reshape(G, M).sum(axis=1)  # rows of user g this batch
+        errpi = (err[:, None] * p_i).reshape(G, M, k).sum(axis=1)
+        err_g = err.reshape(G, M).sum(axis=1)
+        if M > 1:
+            # implicit damping of the M-wide Jacobi feedback step: the
+            # sequential recurrence is self-correcting (each row's err is
+            # computed after the previous row's tmp shift, and the shift
+            # scales with norm — update_svdpp, apex_svd_base.h:512-520);
+            # summing M rows at the raw scale diverges for heavy users
+            # (lr*norm*M*|p_i|^2 > 2).  Divide by the step's own score
+            # sensitivity, the scalar form of (I + lr*norm*Sum p p^T)^-1.
+            # scaled by (m-1)/m: a user's first row needs no damping
+            # (the sequential recurrence starts exact), so m_g=1 users
+            # are bit-identical to the M=1 path
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            pip2 = jnp.sum(p_i * p_i, axis=1).reshape(G, M).sum(axis=1)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         dtmp = (
-            fb_sum * (d - 1.0) * present[:, None]
-            + lr_fb * norm[:, None] * (err[:, None] * p_i)
+            fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
+            + lr_fb * norm[:, None] * errpi
         )
         delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
         dacc = dacc + delta_pad
         fb_sum = fb_sum + (O @ delta_pad)[:G]
         if with_bias:
-            dtmp_b = fb_bias * (db - 1.0) * present + lr_fb * norm * err
+            dtmp_b = (
+                fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
+            )
             delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
             dbacc = dbacc + delta_b_pad
             fb_bias = fb_bias + (O @ delta_b_pad)[:G]
@@ -365,7 +416,11 @@ def train_epoch_plus(
     return flush(state, last_cid, dacc, dbacc)
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "rows_per_user"),
+    donate_argnames=("state",),
+)
 def train_epoch_plus_refresh(
     state: TrainState,
     stacked,
@@ -377,6 +432,7 @@ def train_epoch_plus_refresh(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ):
     """Per-batch pool refresh fallback (common_feedback_space=1): each step
     dynamically gathers its chunk's feedback pool and writes straight back.
@@ -388,21 +444,29 @@ def train_epoch_plus_refresh(
     def body(st, xs):
         batch, cid = xs
         cfb = jax.tree.map(lambda a: a[cid], fb)
-        st = _plus_step(st, batch, cfb, lr, consts, hp, (lr_fb, d, db))
+        st = _plus_step(
+            st, batch, cfb, lr, consts, hp, (lr_fb, d, db),
+            rows_per_user=rows_per_user,
+        )
         return st, None
 
     state, _ = jax.lax.scan(body, state, (stacked, chunk_id))
     return state
 
 
-@partial(jax.jit, static_argnames=("hp",))
-def predict_batches_plus(state: TrainState, stacked, chunk_id, fb, hp: HyperParams):
-    """Forward-only predictions -> [T, G].
+@partial(jax.jit, static_argnames=("hp", "rows_per_user"))
+def predict_batches_plus(
+    state: TrainState, stacked, chunk_id, fb, hp: HyperParams,
+    rows_per_user: int = 1,
+):
+    """Forward-only predictions -> [T, G*M].
 
     Tables are static during prediction, so the feedback aggregates are
     gathered once per CHUNK (boundary cond), not per batch."""
     with_bias = not hp.no_user_bias
-    T, G = stacked["label"].shape
+    M = rows_per_user
+    T, GS = stacked["label"].shape
+    G = GS // M
     k = state.w.shape[1]
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
@@ -420,9 +484,11 @@ def predict_batches_plus(state: TrainState, stacked, chunk_id, fb, hp: HyperPara
         fb_sum, fb_bias = jax.lax.cond(
             first, prepare, lambda _: (fb_sum, fb_bias), None
         )
-        pred, _, _ = forward_scores(
-            state, batch, hp, fb_sum, fb_bias if with_bias else None
+        fb_slot = jnp.repeat(fb_sum, M, axis=0) if M > 1 else fb_sum
+        fbb_slot = (
+            (jnp.repeat(fb_bias, M) if M > 1 else fb_bias) if with_bias else None
         )
+        pred, _, _ = forward_scores(state, batch, hp, fb_slot, fbb_slot)
         return (fb_sum, fb_bias), pred
 
     init = (jnp.zeros((G, k), jnp.float32), jnp.zeros((G,), jnp.float32))

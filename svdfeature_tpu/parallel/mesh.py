@@ -38,13 +38,95 @@ from .. import losses
 from ..ops.embed import HyperParams, TrainConsts, TrainState
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: jax.distributed.initialize with env-driven
+    defaults (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    or the cluster autodetection jax ships).  Idempotent; returns True
+    when a multi-process runtime is active.
+
+    The reference has no multi-host capability at all (SURVEY.md §2.7);
+    this is the net-new entry point the CLI exposes via the
+    ``distributed=1`` config key (train/loop.py).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    kw = {}
+    ca = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if ca:
+        kw["coordinator_address"] = ca
+    np_ = num_processes if num_processes is not None else os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    if np_ is not None:
+        kw["num_processes"] = int(np_)
+    pid = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    jax.distributed.initialize(**kw)
+    return jax.process_count() > 1
+
+
 def make_mesh(
     n_data: int, n_model: int, devices: Optional[Sequence] = None
 ) -> Mesh:
+    """(data x model) mesh.  Multi-host: the model axis is kept within a
+    host's ICI domain and data spans hosts, so the per-batch psum over
+    ``model`` (the latency-critical collective of the masked-gather
+    forward) rides ICI while only the data-axis reductions cross DCN —
+    the hybrid-mesh recipe of the scaling playbook."""
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        per_host = len(jax.local_devices())
+        if n_model <= per_host and (n_data * n_model) % per_host == 0:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (n_data, n_model),
+                ((n_data * n_model) // per_host, 1),
+                devices=jax.devices(),
+            )
+            return Mesh(arr, ("data", "model"))
+        devices = jax.devices()
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= n_data * n_model, "not enough devices"
     arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
+
+
+def put_process_sharded(arrays: dict, mesh: Mesh) -> dict:
+    """Process-sharded batch staging: each host materializes only ITS
+    data-axis slice of the stacked epoch arrays ([T, B, ...], B sharded
+    over ``data``), assembled into global arrays without ever gathering
+    the full batch on one host (jax.make_array_from_process_local_data).
+
+    Single-process meshes fall back to a plain sharded device_put.
+    """
+    out = {}
+    for k, v in arrays.items():
+        spec = P(None, "data") if v.ndim == 2 else P(None, "data", None)
+        sh = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            n_shards = mesh.shape["data"]
+            per = v.shape[1] // n_shards
+            # data-axis rows of the mesh owned (in part) by this process
+            pidx = jax.process_index()
+            my = [
+                i
+                for i in range(n_shards)
+                if any(d.process_index == pidx for d in mesh.devices[i])
+            ]
+            sl = np.concatenate(
+                [v[:, i * per : (i + 1) * per] for i in my], axis=1
+            )
+            out[k] = jax.make_array_from_process_local_data(sh, sl)
+        else:
+            out[k] = jax.device_put(v, sh)
+    return out
 
 
 def _pad_rows(n: int, shards: int) -> int:

@@ -295,26 +295,52 @@ class SVDFeatureTrainer:
             )
             arrays = packed.arrays()
             if self._mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                # multi-process: each host stages only its data slice
+                from ..parallel.mesh import put_process_sharded
 
-                arrays = {
-                    k: jax.device_put(
-                        v,
-                        NamedSharding(
-                            self._mesh,
-                            P(None, "data") if v.ndim == 2 else P(None, "data", None),
-                        ),
-                    )
-                    for k, v in arrays.items()
-                }
+                arrays = put_process_sharded(arrays, self._mesh)
             else:
                 arrays = jax.device_put(arrays)
             self._pack_cache[key] = (arrays, ds.num_row)
         return self._pack_cache[key]
 
+    # ---- streaming (out-of-core) ---------------------------------------------
+    def pack_chunk(self, chunk: CSRDataset, min_batches: int, max_nnz):
+        """Pack one streamed chunk to the stream's stable shapes."""
+        m = self.model
+        packed = pack_csr(
+            chunk,
+            self.batch_size,
+            m.num_rows,
+            m.param.num_global,
+            m.off_user,
+            m.off_item,
+            feat_user=self.feat_user,
+            feat_item=self.feat_item,
+            num_user=m.param.num_user,
+            num_item=m.param.num_item,
+            seg_caps=tuple(max_nnz),
+            min_batches=min_batches,
+        )
+        return packed.arrays(), chunk.num_row
+
+    def train_chunk(self, arrays) -> None:
+        """One on-device pass over a staged chunk (dispatch is async, so
+        the producer thread's next pack/transfer overlaps this)."""
+        self.state = train_epoch(
+            self.state, arrays, jnp.float32(self.learning_rate), self.consts, self.hp
+        )
+
     # ---- training / prediction --------------------------------------------------
     def update_all(self, ds: CSRDataset) -> None:
         """One pass over the dataset (one round)."""
+        if hasattr(ds, "chunks"):  # streaming source (data/streaming.py)
+            from ..data.streaming import stream_train_round
+
+            if self._mesh is not None:
+                raise NotImplementedError("streaming + mesh not wired yet")
+            stream_train_round(self, ds)
+            return
         stacked, _ = self._pack(ds)
         if self._mesh is not None:
             self.state = self._sharded_rounds(

@@ -107,6 +107,10 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
 
     # ---- packing: user-property matrix + filtered feedback pool -------------
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
+        if self.rows_per_user > 1:
+            raise NotImplementedError(
+                "rows_per_user > 1 applies to the plain SVD++ solver only"
+            )
         key = (id(ds), "bi")
         if not cache or key not in self._pack_cache:
             m = self.model

@@ -35,6 +35,10 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         super().set_param(name, val)
 
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
+        if self.rows_per_user > 1:
+            raise NotImplementedError(
+                "rows_per_user > 1 applies to the plain SVD++ solver only"
+            )
         key = (id(ds), "imfb")
         if not cache or key not in self._pack_cache:
             m = self.model

@@ -34,6 +34,12 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         # at a small early-convergence cost; off by default for reference
         # data-order parity
         self.sort_blocks = 0
+        # rows of each user trained simultaneously per step.  The per-user
+        # sequential chain is the epoch's critical path (the heaviest
+        # user's row count bounds the scan length); M>1 cuts it ~M-fold by
+        # widening the within-user step to M rows (same hogwild contract
+        # as the base solver's batching).  1 = strict reference row order.
+        self.rows_per_user = 1
         self._plus_sharded = {}
 
     def set_param(self, name: str, val: str) -> None:
@@ -41,6 +47,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self.users_per_batch = int(val)
         if name == "sort_blocks":
             self.sort_blocks = int(val)
+        if name == "rows_per_user":
+            self.rows_per_user = int(val)
         super().set_param(name, val)
 
     def _check_mesh_supported(self) -> None:
@@ -68,7 +76,12 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
                 sort_blocks=bool(self.sort_blocks),
+                rows_per_user=self.rows_per_user,
             )
+            if self._mesh is not None and packed.rows_per_user > 1:
+                raise NotImplementedError(
+                    "rows_per_user > 1 is not wired on the mesh path"
+                )
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -153,6 +166,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 self.tparam.scale_lr_ufeedback,
                 self.tparam.wd_ufeedback,
                 self.tparam.wd_ufeedback_bias,
+                rows_per_user=self.rows_per_user,
             )
             return
         self.state = train_epoch_plus(
@@ -167,6 +181,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self.tparam.scale_lr_ufeedback,
             self.tparam.wd_ufeedback,
             self.tparam.wd_ufeedback_bias,
+            rows_per_user=self.rows_per_user,
         )
 
     def update_all(self, ds) -> None:
@@ -202,7 +217,10 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 host = self._pack_cache[hkey]
             stacked, chunk_id, fb = host
         preds = np.asarray(
-            predict_batches_plus(self.state_or_model(), stacked, chunk_id, fb, self.hp)
+            predict_batches_plus(
+                self.state_or_model(), stacked, chunk_id, fb, self.hp,
+                rows_per_user=self.rows_per_user,
+            )
         ).reshape(-1)
         # perm maps dataset row -> packed slot (t*G + g)
         return preds[perm]

@@ -72,6 +72,11 @@ class SVDTrainTask:
             self.profile_dir = val
         if name == "debug_checks":
             self.debug_checks = int(val)
+        if name == "distributed" and int(val):
+            # multi-host bring-up BEFORE any trainer/device work
+            from ..parallel.mesh import init_distributed
+
+            init_distributed()
         self.mtype.set_param(name, val)
 
     def configure(self, conf_path: str, cli_args: List[str]) -> None:

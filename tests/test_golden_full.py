@@ -1,0 +1,178 @@
+"""Full-horizon golden gates (marked slow; run with `pytest -m slow`).
+
+Complete 40-round RMSE trajectories for the four regression demos plus
+the pairwiseRank P@20 pipeline, against the numbers regenerated from the
+reference binaries (golden/GOLDEN.json; provenance
+golden/provenance_run_golden.sh).  The fast suite runs shortened
+horizons (tests/test_golden_e2e.py); this file is the CI-runnable proof
+that nothing drifts between rounds 10 and 40.
+
+Reference harness being mirrored: svd_feature_infer task_eval
+(svd_feature_infer.cpp:243-277) and demo/pairwiseRank/eval.py.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from svdfeature_tpu.data.text import load_feature_text, load_plus_text
+from svdfeature_tpu.params import SVDTypeParam, svd_type
+from svdfeature_tpu.solvers.base import SVDFeatureTrainer
+from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+from tests.conftest import GOLDEN, read_fixture_text
+
+pytestmark = pytest.mark.slow
+
+BASIC = dict(
+    base_score=3, learning_rate=0.005, wd_item=0.004, wd_user=0.004,
+    num_item=1682, num_user=943, num_global=0, num_factor=64,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.load(open(GOLDEN / "GOLDEN.json"))
+
+
+def make_trainer(cls, mtype_kw, params):
+    mt = SVDTypeParam(**mtype_kw)
+    tr = cls(mt)
+    for n, v in params.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    return tr
+
+
+def rmse(pred, labels):
+    d = np.asarray(pred) - np.asarray(labels)
+    return float(np.sqrt(np.mean(d * d)))
+
+
+def trajectory(tr, train, test, labels, rounds=40):
+    out = []
+    for _ in range(rounds):
+        tr.update_all(train)
+        out.append(rmse(tr.predict_all(test), labels))
+    return out
+
+
+def assert_trajectory(got, want_map, tol, tail_tol=None, tail_from=20):
+    """Per-round deviation bound; optionally tighter on the late rounds
+    (the converged regime the reference's metrics are quoted from)."""
+    for r, g in enumerate(got, start=1):
+        want = want_map[str(r)] if str(r) in want_map else want_map[r]
+        lim = tol if (tail_tol is None or r < tail_from) else tail_tol
+        assert abs(g - want) < lim, (r, g, want, lim)
+
+
+def test_basicmf_40round_trajectory(ml100k_base_text, ml100k_test_text, golden):
+    train = load_feature_text("x", text=ml100k_base_text)
+    test = load_feature_text("x", text=ml100k_test_text)
+    tr = make_trainer(SVDFeatureTrainer, {}, BASIC)
+    got = trajectory(tr, train, test, test.labels)
+    assert_trajectory(got, golden["basicMF"]["rmse_per_round"], 0.003)
+
+
+def test_binary_40round_trajectory(golden):
+    train = load_feature_text("x", text=read_fixture_text("ml100k.base.bin.feature.gz"))
+    test = load_feature_text("x", text=read_fixture_text("ml100k.test.bin.feature.gz"))
+    p = dict(BASIC, base_score=0.5, active_type=2)
+    tr = make_trainer(SVDFeatureTrainer, dict(active_type=2), p)
+    got = trajectory(tr, train, test, test.labels)
+    assert_trajectory(got, golden["binaryClassification"]["rmse_per_round"], 0.003)
+
+
+def test_neighborhood_40round_trajectory(golden):
+    train = load_feature_text("x", text=read_fixture_text("ml100k.base.nb.feature.gz"))
+    test = load_feature_text("x", text=read_fixture_text("ml100k.test.nb.feature.gz"))
+    p = dict(BASIC, num_global=6, wd_global=0.001)
+    tr = make_trainer(SVDFeatureTrainer, {}, p)
+    got = trajectory(tr, train, test, test.labels)
+    assert_trajectory(got, golden["neighborhoodModel"]["rmse_per_round"], 0.004)
+
+
+def test_implicit_feedback_40round_trajectory(golden):
+    train = load_plus_text(
+        "x", "y",
+        text=read_fixture_text("ml100k.base.group.feature.gz"),
+        feedback_text=read_fixture_text("ml100k.base.feedback.gz"),
+    )
+    test = load_plus_text(
+        "x", "y",
+        text=read_fixture_text("ml100k.test.ug.feature.gz"),
+        feedback_text=read_fixture_text("ml100k.test.feedback.gz"),
+    )
+    p = dict(BASIC, format_type=1, num_ufeedback=1682, wd_ufeedback=0.004)
+    tr = make_trainer(
+        SVDPPFeatureTrainer, dict(format_type=svd_type.USER_GROUP_FORMAT), p
+    )
+    got = trajectory(tr, train, test, test.rows.labels)
+    # batched SVD++ lags the sequential trajectory early and converges to
+    # the same optimum: loose early bound, tighter from round 20 on (the
+    # 0.008 tail covers the post-optimum overfitting regime, where the
+    # batched run diverges by up to ~0.006; the best-round RMSE below is
+    # the 0.003-gated headline metric)
+    assert_trajectory(
+        got, golden["implicitFeedback"]["rmse_per_round"], 0.05, tail_tol=0.008
+    )
+    want_best = min(
+        float(v) for v in golden["implicitFeedback"]["rmse_per_round"].values()
+    )
+    assert abs(min(got) - want_best) < 0.003, (min(got), want_best)
+
+
+def test_pairwise_rank_p20_full(golden, tmp_path):
+    """Drive the complete pairwiseRank demo pipeline (buffers -> 40-round
+    train -> ranker pred) and pin P@20 + the pred.txt golden diff."""
+    import pathlib
+    import shutil
+
+    demo = pathlib.Path(__file__).parent.parent / "demo" / "pairwiseRank"
+    run = tmp_path
+    shutil.copy(demo / "pairwiseRank.conf", run)
+    import gzip
+
+    for src, dst in [
+        ("ml100k.rank.base.feature.gz", "ua.base.rank.feature"),
+        ("ml100k.rank.base.feedback.gz", "ua.base.rank.feedback"),
+        ("ml100k.rank.test.feature.gz", "ua.test.rank.feature"),
+        ("ml100k.rank.test.feedback.gz", "ua.test.rank.feedback"),
+    ]:
+        with gzip.open(pathlib.Path(__file__).parent / "fixtures" / src, "rt") as f:
+            (run / dst).write_text(f.read())
+
+    env = dict(JAX_PLATFORMS="cpu", PYTHONPATH=str(pathlib.Path(__file__).parent.parent))
+    import os
+
+    env = {**os.environ, **env}
+
+    def cli(mod, *args):
+        subprocess.run(
+            [sys.executable, "-m", mod, *args], cwd=run, env=env, check=True,
+            stdout=subprocess.DEVNULL,
+        )
+
+    cli("svdfeature_tpu.cli.make_ugroup_buffer", "ua.base.rank.feature",
+        "buffer.base.svdpp", "-fd", "ua.base.rank.feedback", "-scale_score", "5")
+    cli("svdfeature_tpu.cli.make_ugroup_buffer", "ua.test.rank.feature",
+        "buffer.test.svdpp", "-fd", "ua.test.rank.feedback", "-scale_score", "1",
+        "-max_block", "400")
+    cli("svdfeature_tpu.cli.svd_feature", "pairwiseRank.conf", "num_round=40")
+    cli("svdfeature_tpu.cli.svd_feature_infer", "pairwiseRank.conf", "pred=40")
+
+    # P@20 exactly as demo/pairwiseRank/eval.py computes it: pred.txt is
+    # one rank position per positive item; hit = rank < 20, denominator
+    # 943 users x 20 (eval.py:10-20)
+    got_lines = (run / "pred.txt").read_text().split()
+    want_lines = (GOLDEN / "pairwiseRank.pred.txt").read_text().split()
+    assert len(got_lines) == len(want_lines)
+    p20 = sum(1 for v in got_lines if int(v) < 20) / (943 * 20.0)
+    want_p20 = golden["pairwiseRank"]["precision_at_20"]
+    assert abs(p20 - want_p20) < 0.003, (p20, want_p20)
+    # per-position rank equality vs the reference run is not asserted
+    # (different PRNG -> different factors); the metric is the contract,
+    # golden/pairwiseRank.pred.txt documents the reference output
