@@ -52,10 +52,13 @@ class SVDFeatureTrainer:
         self.feat_user: Optional[SparseFeatureArray] = None
         self.feat_item: Optional[SparseFeatureArray] = None
         self.batch_size = DEFAULT_BATCH_SIZE
-        # the fused Pallas kernel is numerically verified but currently
-        # slower than the jnp one-hot path (74 vs ~50 us/step on v5e);
-        # opt in with use_pallas=1
-        self.use_pallas = False
+        # the fused Pallas kernel (ops/pallas_embed.py) keeps the table
+        # VMEM-resident for the whole multi-round run; on for supported
+        # configs on TPU (use_pallas=0 forces the jnp path)
+        self.use_pallas = True
+        # pallas_precise=1: compensated hi/lo forward reads instead of the
+        # default single-pass bf16 (one extra MXU pass per step)
+        self.pallas_precise = False
         self.seed = 10
         # exact_rng=1: init draws come from the bit-exact apex_random port
         # (glibc rand), matching the reference binary's round-0 snapshot
@@ -88,6 +91,8 @@ class SVDFeatureTrainer:
             self.batch_size = int(val)
         if name == "use_pallas":
             self.use_pallas = bool(int(val))
+        if name == "pallas_precise":
+            self.pallas_precise = bool(int(val))
         if name == "mesh_data":
             self.mesh_data = int(val)
         if name == "mesh_model":
@@ -372,12 +377,15 @@ class SVDFeatureTrainer:
         if self._mesh is not None:
             self.state = self._sharded_rounds(self.state, stacked, lrs, self.consts)
             return
-        if self.use_pallas and jax.default_backend() != "cpu":
+        from ..ops.embed import default_device_is_tpu
+
+        if self.use_pallas and default_device_is_tpu():
             from ..ops.pallas_embed import pallas_supported, train_rounds_pallas
 
             if pallas_supported(self.hp, self.state, stacked):
                 self.state = train_rounds_pallas(
-                    self.state, stacked, lrs, self.consts, self.hp
+                    self.state, stacked, lrs, self.consts, self.hp,
+                    precise=self.pallas_precise,
                 )
                 return
         self.state = train_rounds(self.state, stacked, lrs, self.consts, self.hp)
