@@ -100,6 +100,9 @@ class GBRTTrainer:
         self.scale_baseline = 1.0
         self.base_score = 0.0
         self.pred_tree_leaf = -1
+        # device_forward: -1 auto (device walk on TPU for full-model
+        # evals), 0 host numpy walk, 1 force device (ops/gbrt_forward.py)
+        self.device_forward = -1
         # GBRTTrainParam (lr schedule with min clamp, apex_gbrt.h:36-81)
         self.learning_rate = 0.01
         self.decay_learning_rate = 0
@@ -125,6 +128,8 @@ class GBRTTrainer:
             self.rt_loss_type = int(val)
         if name == "pred_tree_leaf":
             self.pred_tree_leaf = int(val)
+        if name == "device_forward":
+            self.device_forward = int(val)
         if name == "chg_baseline_mode":
             self.chg_baseline_mode = int(val)
         if name == "feature_item":
@@ -279,6 +284,22 @@ class GBRTTrainer:
             return self.tax.map(entry["gids"], self.root_type[ti])
         return entry["gids"]
 
+    def _use_device_forward(self, entry, start: int) -> bool:
+        if self.device_forward == 0 or start >= len(self.trees):
+            return False
+        from ...ops.gbrt_forward import device_forward_ok
+
+        if not device_forward_ok(entry["smat"]):
+            return False
+        if self.device_forward == 1:
+            return True
+        # auto: full-model evals on a TPU backend (incremental training
+        # rounds walk only the newest tree -- the host path is cheaper
+        # and avoids per-round recompiles)
+        from ...ops.embed import default_device_is_tpu
+
+        return start == 0 and len(self.trees) > 1 and default_device_is_tpu()
+
     def forward_all(self, ds: PlusDataset) -> np.ndarray:
         """Raw scores: baseline + sum over trees (cached incrementally)."""
         entry = self._assemble(ds)
@@ -289,10 +310,24 @@ class GBRTTrainer:
             start = 0
         else:
             pred, start = cache[0], cache[1]
-        for ti in range(start, len(self.trees)):
-            t = self.trees[ti]
-            w = self._tree_weights(entry, ti)
-            pred = pred + t.predict_rows(entry["smat"], self._tree_gids(entry, ti)) * w
+        if self._use_device_forward(entry, start):
+            from ...ops.gbrt_forward import forward_trees
+
+            rng = range(start, len(self.trees))
+            pred = forward_trees(
+                [self.trees[ti].tree for ti in rng],
+                entry["smat"],
+                [self._tree_gids(entry, ti) for ti in rng],
+                [self._tree_weights(entry, ti) for ti in rng],
+                pred,
+            )
+        else:
+            for ti in range(start, len(self.trees)):
+                t = self.trees[ti]
+                w = self._tree_weights(entry, ti)
+                pred = pred + t.predict_rows(
+                    entry["smat"], self._tree_gids(entry, ti)
+                ) * w
         self._fwd_cache[key] = (pred, len(self.trees))
         return pred.copy()
 

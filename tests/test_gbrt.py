@@ -220,3 +220,52 @@ def test_gbrt_model_io():
     assert buf.read() == b""
     tr2.init_trainer()
     np.testing.assert_allclose(tr.predict_all(ds), tr2.predict_all(ds), atol=1e-6)
+
+
+def test_device_forward_matches_host():
+    """ops/gbrt_forward.py device walk vs the host numpy walk, incl.
+    missing-feature default directions and multi-root group ids."""
+    ds = gbrt_dataset()
+    tr = _mk(31)
+    for r in range(5):
+        tr.set_round(r)
+        tr.update_all(ds)
+        tr.finish_round()
+
+    tr.device_forward = 0
+    tr._fwd_cache.clear()
+    host = tr.forward_all(ds)
+    tr.device_forward = 1
+    tr._fwd_cache.clear()
+    dev = tr.forward_all(ds)
+    np.testing.assert_allclose(dev, host, atol=1e-5, rtol=1e-5)
+    # predict_all parity through the activation
+    tr.device_forward = 0
+    tr._fwd_cache.clear()
+    p_host = tr.predict_all(ds)
+    tr.device_forward = 1
+    tr._fwd_cache.clear()
+    p_dev = tr.predict_all(ds)
+    np.testing.assert_allclose(p_dev, p_host, atol=1e-5, rtol=1e-5)
+
+
+def test_device_forward_incremental_cache():
+    """Device walk of trees [start:] composes with the incremental cache."""
+    ds = gbrt_dataset()
+    tr = _mk(31)
+    for r in range(4):
+        tr.set_round(r)
+        tr.update_all(ds)
+        tr.finish_round()
+    tr.device_forward = 0
+    tr._fwd_cache.clear()
+    host = tr.forward_all(ds)
+    # warm the cache over the first 2 trees, then device-walk the rest
+    tr._fwd_cache.clear()
+    trees = tr.trees
+    tr.trees = trees[:2]
+    tr.forward_all(ds)
+    tr.trees = trees
+    tr.device_forward = 1
+    dev = tr.forward_all(ds)
+    np.testing.assert_allclose(dev, host, atol=1e-5, rtol=1e-5)
