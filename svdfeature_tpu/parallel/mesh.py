@@ -488,3 +488,54 @@ def sharded_train_rounds(mesh: Mesh, hp: HyperParams, n_pad: int):
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_predict(mesh: Mesh, hp: HyperParams, n_pad: int):
+    """Batched inference ON the mesh: tables stay row-sharded.
+
+    Each data shard scores its slice of every [T, B] batch with masked
+    local gathers psum'd over ``model`` (reference predict semantics,
+    apex_svd_base.h:445-454 via ops/embed.forward_scores); predictions
+    come back sharded over ``data``.  Replaces the copy-the-table-to-one-
+    device eval path, which contradicted row sharding at the scale that
+    motivates it.
+
+    Signature: (state, stacked) -> pred [T, B].
+    """
+    from jax import shard_map
+
+    n_local = n_pad // mesh.shape["model"]
+    state_spec, _, _ = _specs()
+
+    def run(state: TrainState, stacked):
+        w, b, g = state.w, state.b, state.g
+        lo = jax.lax.axis_index("model") * n_local
+        dummy = n_local - 1
+
+        def body(_, batch):
+            p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
+            # g is replicated: full local gather, no psum
+            g_term = jnp.einsum(
+                "bs,bs->b", batch["g_val"], g[batch["g_idx"]]
+            )
+            score = hp.base_score + g_term + bias
+            score = score + jnp.einsum("bk,bk->b", p_u, p_i)
+            return None, losses.map_active(score, hp.active_type)
+
+        _, preds = jax.lax.scan(body, None, stacked)
+        return preds
+
+    stacked_spec = {
+        k: (P(None, "data") if k in ("label", "weight") else P(None, "data", None))
+        for k in (
+            "label", "weight", "g_idx", "g_val", "u_idx", "u_val", "i_idx", "i_val"
+        )
+    }
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(state_spec, stacked_spec),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)

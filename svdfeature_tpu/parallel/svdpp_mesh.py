@@ -273,3 +273,73 @@ def pad_plus_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int, num_globa
         fb = dict(fb)
         fb["fb_block"] = np.where(fb["fb_block"] >= G, Gp, fb["fb_block"])
     return arrays, fb, Gp, Fp
+
+
+def sharded_svdpp_predict(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
+    """SVD++ inference ON the mesh — tables stay row-sharded.
+
+    The forward half of ``_make_svdpp_body`` (feedback aggregates reduced
+    over data+model, masked local gathers + psum) without any updates;
+    predictions come back [T, G] sharded over ``data``.  Counterpart of
+    ops/svdpp.predict_batches_plus (SVDPPFeature::predict(vector, block),
+    apex_svd_base.h:583-591) for the copy-free sharded eval path.
+    """
+    from jax import shard_map
+
+    n_model, n_data = mesh.shape["model"], mesh.shape["data"]
+    n_local = n_pad // n_model
+    assert G % n_data == 0 and F % n_data == 0
+    g_local = G // n_data
+    f_local = F // n_data
+    state_spec, batch_spec, cfb_spec, consts_spec = _specs()
+
+    def run(state: TrainState, stacked, chunk_id, fb):
+        w, b, gbias = state.w, state.b, state.g
+        mid = jax.lax.axis_index("model")
+        did = jax.lax.axis_index("data")
+        lo = mid * n_local
+        dummy = n_local - 1
+        with_bias = not hp.no_user_bias
+        nseg = G + 1
+        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+
+        def body(_, xs):
+            batch, cid = xs
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            sl = jax.lax.dynamic_slice_in_dim(cfb["fb_idx"], did * f_local, f_local)
+            sv = jax.lax.dynamic_slice_in_dim(cfb["fb_val"], did * f_local, f_local)
+            sb = jax.lax.dynamic_slice_in_dim(cfb["fb_block"], did * f_local, f_local)
+            loc = sl - lo
+            own = (loc >= 0) & (loc < n_local)
+            locc = jnp.where(own, loc, dummy)
+            v = jnp.where(own, sv, 0.0)
+            fb_sum = jax.ops.segment_sum(w[locc] * v[:, None], sb, num_segments=nseg)
+            fb_sum = jax.lax.psum(jax.lax.psum(fb_sum, "model"), "data")
+            p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
+            p_u = p_u + fb_sum[slot]
+            if with_bias:
+                fb_bias = jax.ops.segment_sum(b[locc] * v, sb, num_segments=nseg)
+                fb_bias = jax.lax.psum(jax.lax.psum(fb_bias, "model"), "data")
+                bias = bias + fb_bias[slot]
+            score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
+            score = score + jnp.einsum(
+                "bs,bs->b", batch["g_val"], gbias[batch["g_idx"]]
+            )
+            return None, losses.map_active(score, hp.active_type)
+
+        _, preds = jax.lax.scan(body, None, (stacked, chunk_id))
+        return preds
+
+    stacked_spec = {
+        k: (P(None, "data") if k in ("label", "weight") else P(None, "data", None))
+        for k in batch_spec
+    }
+    fb_spec = {k: P(None, None) for k in cfb_spec}
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(state_spec, stacked_spec, P(), fb_spec),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)

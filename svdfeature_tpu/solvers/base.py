@@ -80,6 +80,7 @@ class SVDFeatureTrainer:
         self._n_pad: Optional[int] = None
         self._tbl_rows: Optional[int] = None  # unpadded table rows incl. dummy
         self._sharded_rounds = None
+        self._sharded_pred = None
 
     # ---- configuration -----------------------------------------------------
     def set_param(self, name: str, val: str) -> None:
@@ -393,11 +394,21 @@ class SVDFeatureTrainer:
     def predict_all(self, ds: CSRDataset) -> np.ndarray:
         stacked, nrow = self._pack(ds)
         if self._mesh is not None:
-            # prediction runs in the single-device layout (cached copy)
-            hkey = ("host", id(ds))
-            if hkey not in self._pack_cache:
-                self._pack_cache[hkey] = jax.device_put(jax.device_get(stacked))
-            stacked = self._pack_cache[hkey]
+            # inference runs on the mesh itself — tables stay row-sharded
+            # (parallel/mesh.sharded_predict); single-process only fetches
+            # the [T, B] prediction matrix, never the table
+            if self._sharded_pred is None:
+                from ..parallel.mesh import sharded_predict
+
+                self._sharded_pred = sharded_predict(
+                    self._mesh, self.hp, self._n_pad
+                )
+            preds = self._sharded_pred(self.state, stacked)
+            if jax.process_count() > 1:
+                from jax.experimental.multihost_utils import process_allgather
+
+                preds = process_allgather(preds, tiled=True)
+            return np.asarray(preds).reshape(-1)[:nrow]
         preds = predict_batches(self.state_or_model(), stacked, self.hp)
         return np.asarray(preds).reshape(-1)[:nrow]
 

@@ -201,21 +201,23 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             return super().predict_all(ds)
         stacked, chunk_id, fb, perm, _ = entry
         if self._mesh is not None:
-            # prediction runs in the single-device layout (cached copy for
-            # cached packs; PairSource epoch packs are fresh each call)
-            hkey = ("host", id(ds), "plus")
-            cached = isinstance(ds, PlusDataset) and hkey in self._pack_cache
-            if not cached:
-                host = (
-                    jax.device_put(jax.device_get(stacked)),
-                    jax.device_put(jax.device_get(chunk_id)),
-                    jax.device_put(jax.device_get(fb)),
+            # inference runs on the mesh itself — tables stay row-sharded
+            # (parallel/svdpp_mesh.sharded_svdpp_predict)
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            key = ("pred", G, F)
+            if key not in self._plus_sharded:
+                from ..parallel.svdpp_mesh import sharded_svdpp_predict
+
+                self._plus_sharded[key] = sharded_svdpp_predict(
+                    self._mesh, self.hp, self._n_pad, G, F
                 )
-                if isinstance(ds, PlusDataset):
-                    self._pack_cache[hkey] = host
-            else:
-                host = self._pack_cache[hkey]
-            stacked, chunk_id, fb = host
+            preds = self._plus_sharded[key](self.state, stacked, chunk_id, fb)
+            if jax.process_count() > 1:
+                from jax.experimental.multihost_utils import process_allgather
+
+                preds = process_allgather(preds, tiled=True)
+            return np.asarray(preds).reshape(-1)[perm]
         preds = np.asarray(
             predict_batches_plus(
                 self.state_or_model(), stacked, chunk_id, fb, self.hp,
