@@ -1,0 +1,524 @@
+"""Pallas TPU kernel: fully-fused SVD++ (user-group) training rounds.
+
+The SVD++ analogue of ops/pallas_embed.py.  Reference semantics are the
+user-block feedback protocol of SVDPPFeature (prepare_ufeedback /
+update_svdpp / update_ufeedback, apex_svd_base.h:484-592) in the
+overlap-carried formulation of ops/svdpp.train_epoch_plus (trajectory-
+identical to per-batch pool refresh; see that module's docstring).
+
+Why a kernel: the jnp path is HBM-bound — every step re-materializes
+[GS, N] one-hots and full-table update/decay passes to HBM.  Here the
+whole unified table (w, b) stays VMEM-resident across the grid, the
+one-hot selectors live only in VMEM, and every per-user reduction is a
+small MXU matmul:
+
+* grid = (rounds, steps); carried chunk state (aggregates, overlap
+  deltas) persists in VMEM scratch across grid cells;
+* SLAB-LOCAL selectors: the unified row space (model.py) puts user rows
+  in [off_user, off_item) and item rows in [off_item, N-1), so the
+  per-slot selectors are built only over 128-aligned windows covering
+  those slabs ([AU, AU+WU), [AI, AI+WI)) instead of the full table.
+  For SVD++ layouts the feedback slab is as large as the item slab, so
+  this cuts one-hot compare + matmul area ~3x vs full-N selectors (the
+  feedback rows never appear in u_idx/i_idx and were pure waste);
+* a constant slot->user selector S [GS, G+1] turns slot-to-user
+  broadcasts (S @ agg) and per-user sums (S^T @ x) into matmuls;
+* chunk boundaries (first cell of each chunk): the previous chunk's
+  accumulated deltas are flushed to the feedback pool rows and the new
+  chunk's aggregates [fb_sum | fb_bias | norm] are gathered, in
+  FT-entry tiles of one-hots restricted to the FEEDBACK SLAB
+  ([0, off_user) of the unified table) — the pool never pays
+  user/item-slab one-hot FLOPs either;
+* within a chunk the carried aggregates evolve in closed form,
+  ``agg += O @ delta`` with O the pack-time overlap matrix.
+
+Numerics follow the fast mode of pallas_embed (bf16 single-pass table
+reads, f32 accumulation).  Gate: pallas_svdpp_supported.
+
+Stability note: rows_per_user (M) widens BOTH the within-user Jacobi
+step (damped here, scalar implicit form) and the cross-user feedback
+coupling through shared pool rows, whose per-batch gain is
+``lr_fb * m * lambda_max(O)``; measured on ML-100K sorted packing this
+diverges at M=16 (gain ~3) and is stable at M=8 (the default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import losses
+from .embed import HyperParams, TrainState, TrainConsts
+
+PALLAS_VMEM_TABLE_BYTES = 4 * 1024 * 1024
+FB_TILE = 2048  # pool entries per boundary one-hot tile
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def pallas_svdpp_supported(hp, state, stacked, fb, off_user: int) -> bool:
+    """The hot SVD++ configuration: separate feedback space (rows
+    [0, off_user)), one feature per u/i segment, eager L2, no globals."""
+    n, k = state.w.shape
+    GS = stacked["label"].shape[1]
+    return (
+        off_user > 0  # separate feedback space below the user rows
+        and hp.reg_method == 0
+        and hp.reg_global == 0
+        and not hp.user_nonnegative
+        and not hp.item_nonnegative
+        and hp.active_type in (losses.LINEAR, losses.SIGMOID_L2,
+                               losses.SIGMOID_LIKELIHOOD, losses.SIGMOID_RANK,
+                               losses.SIGMOID_QSGRAD)
+        and stacked["u_idx"].shape[-1] == 1
+        and stacked["i_idx"].shape[-1] == 1
+        and stacked["g_idx"].shape[-1] == 1
+        and state.g.shape[0] == 1  # no global features
+        and _round_up(n, 128) * k * 4 <= PALLAS_VMEM_TABLE_BYTES
+        and k % 8 == 0
+        and GS % 128 == 0
+        and fb["fb_idx"].shape[1] <= 1 << 17
+        # fb slab padded to a lane multiple must stay clear of the dummy row
+        and _round_up(off_user, 128) < n
+    )
+
+
+def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
+                 AU, WU, AI, WI):
+    """B = GS = G*M slots per cell; NP = padded table rows; Gp = padded
+    G+1 segments; Fp = padded pool entries per chunk; Nfb = padded
+    feedback-slab rows; [AU, AU+WU) / [AI, AI+WI) = 128-aligned windows
+    covering the user / item slabs."""
+    at = hp.active_type
+    with_user_bias = not hp.no_user_bias
+    NT = Fp // FB_TILE
+    kb = k + 1  # factor cols + bias col
+
+    def kernel(
+        # scalar prefetch
+        lrs_ref,            # [R] per-round lr
+        lbu_ref, lbi_ref,   # [R] log(1-lr_r*wd_bias)
+        logd_ref, logdb_ref,  # [R] log(d), log(db) feedback decay
+        lrfb_ref,           # [R] lr_fb = lr_r * scale_lr_ufeedback
+        cid_ref,            # [T] chunk id per step
+        pcid_ref,           # [T] chunk id of step t-1 (t=0 -> chunk of T-1)
+        # batch blocks
+        u_idx_ref, u_val_ref, i_idx_ref, i_val_ref, label_ref, weight_ref,
+        # per-round row-decay log tables (windows of [R, NP, 1])
+        lu_ref, li_ref,
+        # current chunk pool [1, Fp] + overlap [1, Gp, Gp]
+        fbi_ref, fbv_ref, fbb_ref, O_ref,
+        # previous chunk pool [1, Fp] (for the boundary flush)
+        pfbi_ref, pfbv_ref, pfbb_ref,
+        # tables in/out ([NP, k] factors, [NP, 1] bias column)
+        w_in_ref, b_in_ref,
+        w_ref, b_ref,
+        # scratch: carried chunk state
+        agg_ref,   # [Gp, k+2]: [fb_sum | fb_bias | norm]
+        inv_ref,   # [Gp, 1]  : 1/norm (0 where empty)
+        dacc_ref,  # [Gp, k+1]: accumulated [dw | db] deltas
+    ):
+        r = pl.program_id(0)
+        t = pl.program_id(1)
+        lr = lrs_ref[r]
+        lr_fb = lrfb_ref[r]
+        at_first_cell = (r == 0) & (t == 0)
+        first = (t == 0) | (cid_ref[t] != pcid_ref[t])
+
+        @pl.when(at_first_cell)
+        def _():
+            # zero the dummy row and the [N, NP) padding rows
+            live = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0) < N - 1
+            w_ref[:] = jnp.where(live, w_in_ref[:], 0.0)
+            b_ref[:] = jnp.where(live, b_in_ref[:], 0.0)
+            dacc_ref[:] = jnp.zeros((Gp, kb), jnp.float32)
+
+        def fb_tiles(idx_ref, val_ref, blk_ref, body, init):
+            """fori_loop over FT-entry pool tiles; body gets (E, A, fval)."""
+            def step(i, carry):
+                o = i * FB_TILE
+                fi = idx_ref[0, 0, pl.ds(o, FB_TILE)]
+                fv = val_ref[0, 0, pl.ds(o, FB_TILE)]
+                fbk = blk_ref[0, 0, pl.ds(o, FB_TILE)]
+                iota_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (FB_TILE, Nfb), 1
+                )
+                iota_g = jax.lax.broadcasted_iota(
+                    jnp.int32, (FB_TILE, Gp), 1
+                )
+                E = (fi[:, None] == iota_n).astype(jnp.bfloat16)
+                A = (fbk[:, None] == iota_g).astype(jnp.bfloat16)
+                return body(carry, E, A, fv)
+
+            return jax.lax.fori_loop(0, NT, step, init)
+
+        dn = (((1,), (0,)), ((), ()))
+        dnT = (((0,), (0,)), ((), ()))
+
+        def apply_pool_delta(i_ref, v_ref, k_ref):
+            """Scatter dacc over the pool rows of the referenced chunk:
+            w[fb_idx_f] += dacc[fb_block_f] * fval_f (update_ufeedback,
+            apex_svd_base.h:539-554, accumulated over the chunk).  Stores
+            are full-width (the [Nfb:] tail rows of ``out`` are zero: no
+            one-hot column past the fb slab ever matches)."""
+            dacc = dacc_ref[:].astype(jnp.bfloat16)  # [Gp, k+1]
+
+            def tile(out, E, A, fv):
+                pay = jax.lax.dot_general(
+                    A, dacc, dn, preferred_element_type=jnp.float32
+                ) * fv[:, None]  # [FT, k+1]
+                return out + jax.lax.dot_general(
+                    E, pay.astype(jnp.bfloat16), dnT,
+                    preferred_element_type=jnp.float32,
+                )
+
+            out = fb_tiles(
+                i_ref, v_ref, k_ref, tile, jnp.zeros((Nfb, kb), jnp.float32)
+            )
+            pad = jnp.zeros((NP - Nfb, kb), jnp.float32)
+            full = jnp.concatenate([out, pad], axis=0)  # [NP, k+1]
+            w_ref[:] = w_ref[:] + full[:, :k]
+            if with_user_bias:
+                b_ref[:] = b_ref[:] + full[:, k:k + 1]
+
+        # ---- boundary: flush previous chunk's deltas, gather this chunk's
+        # aggregates from the live feedback slab
+        @pl.when(first & ~at_first_cell)
+        def _():
+            apply_pool_delta(pfbi_ref, pfbv_ref, pfbb_ref)
+
+        @pl.when(first)
+        def _():
+            m_fb = jnp.concatenate(
+                [w_ref[0:Nfb, :], b_ref[0:Nfb, :]], axis=1
+            ).astype(jnp.bfloat16)  # [Nfb, k+1]
+
+            def gather(acc, E, A, fv):
+                rows = jax.lax.dot_general(
+                    E, m_fb, dn, preferred_element_type=jnp.float32
+                ) * fv[:, None]  # [FT, k+1]
+                pay = jnp.concatenate([rows, (fv * fv)[:, None]], axis=1)
+                return acc + jax.lax.dot_general(
+                    A, pay.astype(jnp.bfloat16), dnT,
+                    preferred_element_type=jnp.float32,
+                )
+
+            agg = fb_tiles(
+                fbi_ref, fbv_ref, fbb_ref, gather,
+                jnp.zeros((Gp, k + 2), jnp.float32),
+            )
+            agg_ref[:] = agg
+            norm = agg[:, k + 1 : k + 2]
+            inv_ref[:] = jnp.where(
+                norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0
+            )
+            dacc_ref[:] = jnp.zeros((Gp, kb), jnp.float32)
+
+        # ---- cell: slab-local one-hot forward/scatter + feedback recurrence
+        u_idx = u_idx_ref[0, 0, :]
+        i_idx = i_idx_ref[0, 0, :]
+        u_val = u_val_ref[0, 0, :]
+        i_val = i_val_ref[0, 0, :]
+        label = label_ref[0, 0, :]
+        weight = weight_ref[0, 0, :]
+
+        agg = agg_ref[:]          # [Gp, k+2]
+        fbs = agg[:, :kb]         # [fb_sum | fb_bias]
+        norm_col = agg[:, k + 1 : k + 2]
+        inv_col = inv_ref[:]
+
+        # constant slot->user selector (slot = g*M + m -> user g)
+        slot_user = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 0) // M
+        iota_gp = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 1)
+        S = (slot_user == iota_gp).astype(jnp.bfloat16)  # [B, Gp]
+
+        # slab-local selectors: padded slots carry the dummy index N-1,
+        # which never matches a real user/item column (zero contribution)
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (B, WU), 1) + AU
+        Eu = (u_idx[:, None] == iota_u).astype(jnp.bfloat16)
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (B, WI), 1) + AI
+        Ei = (i_idx[:, None] == iota_i).astype(jnp.bfloat16)
+        mu = jnp.concatenate(
+            [w_ref[AU:AU + WU, :], b_ref[AU:AU + WU, :]], axis=1
+        ).astype(jnp.bfloat16)  # [WU, k+1]
+        mi = jnp.concatenate(
+            [w_ref[AI:AI + WI, :], b_ref[AI:AI + WI, :]], axis=1
+        ).astype(jnp.bfloat16)  # [WI, k+1]
+        scaled_u = u_val[:, None] * jax.lax.dot_general(
+            Eu, mu, dn, preferred_element_type=jnp.float32
+        )  # [B, k+1]
+        scaled_i = i_val[:, None] * jax.lax.dot_general(
+            Ei, mi, dn, preferred_element_type=jnp.float32
+        )
+        fb_slot = jax.lax.dot_general(
+            S, fbs.astype(jnp.bfloat16), dn, preferred_element_type=jnp.float32
+        )  # [B, k+1]
+        p_u = scaled_u[:, :k] + fb_slot[:, :k]
+        p_i = scaled_i[:, :k]
+        score = hp.base_score + jnp.sum(p_u * p_i, axis=1)
+        score = score + scaled_i[:, k]
+        if with_user_bias:
+            score = score + scaled_u[:, k] + fb_slot[:, k]
+        pred = losses.map_active(score, at)
+        err = losses.cal_grad(label, pred, at) * weight
+        lr_err = lr * err
+
+        coef_u = lr_err * u_val
+        coef_i = lr_err * i_val
+        ones = jnp.ones((B, 1), jnp.float32)
+        zeros = jnp.zeros((B, 1), jnp.float32)
+        bias_u = coef_u[:, None] if with_user_bias else zeros
+        pay_u = jnp.concatenate(
+            [coef_u[:, None] * p_i, bias_u, ones], axis=1
+        )  # [B, k+2]: [dw | db | touch]
+        pay_i = jnp.concatenate(
+            [coef_i[:, None] * p_u, coef_i[:, None], ones], axis=1
+        )
+        out_u = jax.lax.dot_general(
+            Eu, pay_u.astype(jnp.bfloat16), dnT,
+            preferred_element_type=jnp.float32,
+        )  # [WU, k+2]
+        out_i = jax.lax.dot_general(
+            Ei, pay_i.astype(jnp.bfloat16), dnT,
+            preferred_element_type=jnp.float32,
+        )  # [WI, k+2]
+        cu = out_u[:, k + 1 : k + 2]  # [WU, 1] touch counts
+        ci = out_i[:, k + 1 : k + 2]
+
+        # update + eager decay, per slab.  The windows may overlap on a
+        # 128-row boundary strip, but a row only ever has real touches in
+        # one segment (slabs are disjoint), so the other slab adds zeros
+        # and multiplies by exp(0) — order does not matter.
+        wu = w_ref[AU:AU + WU, :] + out_u[:, :k]
+        w_ref[AU:AU + WU, :] = wu * jnp.exp(cu * lu_ref[0, AU:AU + WU, :])
+        bu = b_ref[AU:AU + WU, :] + out_u[:, k:k + 1]
+        if with_user_bias:
+            bu = bu * jnp.exp(cu * lbu_ref[r])
+        b_ref[AU:AU + WU, :] = bu
+
+        wi = w_ref[AI:AI + WI, :] + out_i[:, :k]
+        w_ref[AI:AI + WI, :] = wi * jnp.exp(ci * li_ref[0, AI:AI + WI, :])
+        bi = b_ref[AI:AI + WI, :] + out_i[:, k:k + 1]
+        b_ref[AI:AI + WI, :] = bi * jnp.exp(ci * lbi_ref[r])
+
+        # ---- feedback recurrence (closed form, per user)
+        # per-user sums via S^T: [Gp, k+2] = S^T @ [err*p_i | err | present]
+        red = jnp.concatenate(
+            [err[:, None] * p_i, err[:, None], weight[:, None]], axis=1
+        )
+        sums = jax.lax.dot_general(
+            S, red.astype(jnp.bfloat16), dnT, preferred_element_type=jnp.float32
+        )  # [Gp, k+2]
+        errpi = sums[:, :k]
+        err_g = sums[:, k : k + 1]
+        m_g = sums[:, k + 1 : k + 2]
+        if M > 1:
+            # implicit damping of the M-wide within-user Jacobi step
+            # (ops/svdpp.train_epoch_plus body, same formulas)
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            pip2 = jnp.sum(p_i * p_i, axis=1)[:, None]  # [B,1]
+            pip2_g = jax.lax.dot_general(
+                S, pip2.astype(jnp.bfloat16), dnT,
+                preferred_element_type=jnp.float32,
+            )  # [Gp, 1]
+            errpi = errpi / (1.0 + lr_fb * norm_col * pip2_g * frac)
+            err_g = err_g / (1.0 + lr_fb * norm_col * (m_g - 1.0) * (m_g > 0))
+        powd = jnp.exp(m_g * logd_ref[r]) - 1.0   # d^m_g - 1
+        powdb = jnp.exp(m_g * logdb_ref[r]) - 1.0
+        dtmp = jnp.concatenate(
+            [
+                fbs[:, :k] * powd + lr_fb * norm_col * errpi,
+                fbs[:, k : k + 1] * powdb + lr_fb * norm_col * err_g,
+            ],
+            axis=1,
+        )  # [Gp, k+1]
+        delta = dtmp * inv_col
+        dacc_ref[:] = dacc_ref[:] + delta
+        # carried aggregates: agg[:, :k+1] += O @ delta (norm col carried
+        # via a zero pad — full-width store, no lane-offset slicing)
+        Od = jax.lax.dot_general(
+            O_ref[0], delta.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        )  # [Gp, k+1]
+        agg_ref[:] = agg_ref[:] + jnp.concatenate(
+            [Od, jnp.zeros((Gp, 1), jnp.float32)], axis=1
+        )
+
+        # ---- final flush (last grid cell): current chunk's deltas
+        @pl.when((r == R - 1) & (t == T - 1))
+        def _():
+            apply_pool_delta(fbi_ref, fbv_ref, fbb_ref)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hp", "G", "M", "off_user", "off_item"),
+    donate_argnames=("state",),
+)
+def train_rounds_svdpp_pallas(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    fb_overlap,
+    lrs: jax.Array,
+    consts: TrainConsts,
+    hp: HyperParams,
+    G: int,
+    M: int,
+    off_user: int,
+    off_item: int,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+) -> TrainState:
+    """Multi-round SVD++ training as a single fused Pallas kernel."""
+    T, GS = stacked["label"].shape
+    assert GS == G * M
+    N, k = state.w.shape
+    R = lrs.shape[0]
+    C, F = fb["fb_idx"].shape
+    NP = _round_up(N, 128)
+    Gp = _round_up(G + 1, 128)
+    Fp = _round_up(F, FB_TILE)
+    Nfb = _round_up(off_user, 128)
+    # 128-aligned windows covering the user / item slabs of the unified
+    # row space (the item window runs through the dummy + padding rows;
+    # padded slots' dummy index never matches a window column)
+    AU = (off_user // 128) * 128
+    WU = _round_up(off_item - AU, 128)
+    AI = (off_item // 128) * 128
+    WI = NP - AI
+    kernel = _make_kernel(hp, GS, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
+                          AU, WU, AI, WI)
+
+    # [T, 1, GS] so the (1, 1, GS) block satisfies Mosaic's trailing-dims
+    # rule for any GS multiple of 128 (1-D operands get XLA's T(1024)
+    # layout, which Mosaic rejects below GS=1024)
+    u_idx = stacked["u_idx"][..., 0][:, None, :]
+    i_idx = stacked["i_idx"][..., 0][:, None, :]
+    u_val = stacked["u_val"][..., 0][:, None, :]
+    i_val = stacked["i_val"][..., 0][:, None, :]
+    label = stacked["label"][:, None, :]
+    weight = stacked["weight"][:, None, :]
+
+    def _log1m(x):
+        return jnp.log(jnp.maximum(1.0 - x, 1e-38))
+
+    padN = NP - N
+    wd_u = jnp.pad(consts.wd_u_row, (0, padN))
+    wd_i = jnp.pad(consts.wd_i_row, (0, padN))
+    log_u = _log1m(lrs[:, None, None] * wd_u[None, :, None])  # [R, NP, 1]
+    log_i = _log1m(lrs[:, None, None] * wd_i[None, :, None])
+    log_bu = _log1m(lrs * consts.wd_user_bias)
+    log_bi = _log1m(lrs * consts.wd_item_bias)
+    lr_fbs = lrs * jnp.float32(scale_lr_ufeedback)
+    log_d = _log1m(lr_fbs * jnp.float32(wd_ufeedback))
+    log_db = _log1m(lr_fbs * jnp.float32(wd_ufeedback_bias))
+
+    cid = chunk_id.astype(jnp.int32)
+    pcid = jnp.roll(cid, 1)  # chunk of the previous step; t=0 -> last chunk
+
+    # pad pool to Fp (padded entries: idx = N-1 outside the fb slab in
+    # value terms -> one-hot misses; val 0; block = G)
+    padF = Fp - F
+    fbi = jnp.pad(fb["fb_idx"].astype(jnp.int32), ((0, 0), (0, padF)),
+                  constant_values=N)[:, None, :]
+    fbv = jnp.pad(fb["fb_val"], ((0, 0), (0, padF)))[:, None, :]
+    fbb = jnp.pad(fb["fb_block"].astype(jnp.int32), ((0, 0), (0, padF)),
+                  constant_values=G)[:, None, :]
+    # overlap [C, G+1, G+1] -> padded [C, Gp, Gp]
+    O = jnp.pad(
+        fb_overlap, ((0, 0), (0, Gp - G - 1), (0, Gp - G - 1))
+    )
+
+    w_pad = jnp.pad(state.w, ((0, padN), (0, 0)))
+    b_pad = jnp.pad(state.b, (0, padN))[:, None]
+
+    def batch_spec(_):
+        return pl.BlockSpec(
+            (1, 1, GS), lambda r, t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    table_spec = pl.BlockSpec((NP, k), lambda r, t, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((NP, 1), lambda r, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, NP, 1), lambda r, t, *_: (r, 0, 0), memory_space=pltpu.VMEM
+    )
+    # scalar-prefetch operand order (8): lrs, lbu, lbi, logd, logdb, lrfb,
+    # cid, pcid -> index-map args follow the grid ids
+    pool_cur = pl.BlockSpec(
+        (1, 1, Fp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pool_prev = pl.BlockSpec(
+        (1, 1, Fp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (pcid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    O_spec = pl.BlockSpec(
+        (1, Gp, Gp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(R, T),
+        in_specs=[
+            batch_spec(u_idx), batch_spec(u_val), batch_spec(i_idx),
+            batch_spec(i_val), batch_spec(label), batch_spec(weight),
+            row_spec, row_spec,
+            pool_cur, pool_cur, pool_cur, O_spec,
+            pool_prev, pool_prev, pool_prev,
+            table_spec, bias_spec,
+        ],
+        out_specs=(table_spec, bias_spec),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, k + 2), jnp.float32),
+            pltpu.VMEM((Gp, 1), jnp.float32),
+            pltpu.VMEM((Gp, k + 1), jnp.float32),
+        ],
+    )
+    w_out, b_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, k), jnp.float32),
+            jax.ShapeDtypeStruct((NP, 1), jnp.float32),
+        ),
+        input_output_aliases={23: 0, 24: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(
+        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid,
+        u_idx, u_val, i_idx, i_val, label, weight,
+        log_u, log_i,
+        fbi, fbv, fbb, O,
+        fbi, fbv, fbb,
+        w_pad, b_pad,
+    )
+    nstep = state.step + (
+        jnp.sum(stacked["weight"] > 0).astype(jnp.int32) * jnp.int32(R)
+    )
+    return TrainState(
+        w=w_out[:N],
+        b=b_out[:N, 0],
+        g=state.g,
+        step=nstep,
+        ref_ui=state.ref_ui,
+        ref_g=state.ref_g,
+    )

@@ -123,8 +123,80 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self._pack_cache[key] = entry
         return self._pack_cache[key]
 
+    def _pallas_plus_ok(self, entry) -> bool:
+        """Fused whole-rounds Pallas path (ops/pallas_svdpp.py): single
+        process, separate feedback space, VMEM-resident table, TPU."""
+        from ..ops.embed import default_device_is_tpu
+
+        if not (self.use_pallas and default_device_is_tpu()):
+            return False
+        if self._mesh is not None or self.model.param.common_feedback_space:
+            return False
+        from ..ops.pallas_svdpp import pallas_svdpp_supported
+
+        stacked, _, fb, _, _ = entry
+        return pallas_svdpp_supported(
+            self.hp, self.state, stacked, fb, self.model.off_user
+        )
+
+    def _train_rounds_pallas_plus(self, entry, lrs) -> None:
+        from ..ops.pallas_svdpp import train_rounds_svdpp_pallas
+
+        stacked, chunk_id, fb, _, overlap = entry
+        GS = stacked["label"].shape[1]
+        self.state = train_rounds_svdpp_pallas(
+            self.state,
+            stacked,
+            chunk_id,
+            fb,
+            overlap,
+            lrs,
+            self.consts,
+            self.hp,
+            GS // self.rows_per_user,
+            self.rows_per_user,
+            self.model.off_user,
+            self.model.off_item,
+            self.tparam.scale_lr_ufeedback,
+            self.tparam.wd_ufeedback,
+            self.tparam.wd_ufeedback_bias,
+        )
+
+    def update_rounds(self, ds, num_rounds: int) -> None:
+        """num_rounds fused passes in one device dispatch (Pallas whole-run
+        kernel when supported; per-round jnp epochs otherwise)."""
+        if hasattr(ds, "epoch_dataset"):  # PairSource: fresh pairs per epoch
+            for _ in range(num_rounds):
+                self.update_all(ds)
+                if self.tparam.decay_learning_rate:
+                    self.learning_rate *= self.tparam.decay_rate
+                    self.round_counter += 1
+            return
+        if not isinstance(ds, PlusDataset):
+            return super().update_rounds(ds, num_rounds)
+        entry = self._pack_plus(ds)
+        lrs = []
+        for _ in range(num_rounds):
+            lrs.append(self.learning_rate)
+            if self.tparam.decay_learning_rate:
+                self.learning_rate *= self.tparam.decay_rate
+                self.round_counter += 1
+        if self._pallas_plus_ok(entry):
+            self._train_rounds_pallas_plus(entry, jnp.asarray(lrs, jnp.float32))
+            return
+        for lr in lrs:
+            saved = self.learning_rate
+            self.learning_rate = lr
+            self._train_packed(entry)
+            self.learning_rate = saved
+
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, overlap = entry
+        if self._pallas_plus_ok(entry):
+            self._train_rounds_pallas_plus(
+                entry, jnp.asarray([self.learning_rate], jnp.float32)
+            )
+            return
         if self._mesh is not None:
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]

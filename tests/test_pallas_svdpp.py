@@ -1,0 +1,120 @@
+"""Fused SVD++ Pallas kernel (ops/pallas_svdpp.py) vs the jnp path.
+
+Interpreter-mode parity on a synthetic multi-chunk user-group workload
+(3 chunks so the boundary flush/gather and the carried overlap recurrence
+are all exercised); the compiled kernel's TPU parity and throughput are
+verified by scripts/val_pallas_svdpp.py on the bench device.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svdfeature_tpu.data.text import load_plus_text
+from svdfeature_tpu.params import SVDTypeParam, svd_type
+from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+from svdfeature_tpu.ops.svdpp import train_epoch_plus
+from svdfeature_tpu.ops.pallas_svdpp import (
+    pallas_svdpp_supported,
+    train_rounds_svdpp_pallas,
+)
+
+P = dict(
+    base_score=3, learning_rate=0.01, wd_item=0.004, wd_user=0.004,
+    num_item=100, num_user=40, num_global=0, num_factor=8,
+    num_ufeedback=25, wd_ufeedback=0.004, users_per_batch=16,
+)
+
+
+def synth_ds(seed=0, n_users=40):
+    rng = np.random.RandomState(seed)
+    rows, fbs = [], []
+    for u in range(n_users):
+        r = rng.randint(1, 6)
+        for _ in range(r):
+            i = rng.randint(0, 100)
+            rows.append(f"{rng.randint(1, 6)} 0 1 1 {u}:1 {i}:1")
+        nf = rng.randint(2, 7)
+        ids = rng.choice(25, size=nf, replace=False)
+        feats = " ".join(f"{j}:{0.3 + 0.1 * (j % 3):.1f}" for j in ids)
+        fbs.append(f"{r} {nf} {feats}")
+    return load_plus_text(
+        "x", "y", text="\n".join(rows), feedback_text="\n".join(fbs)
+    )
+
+
+def make(extra):
+    tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=svd_type.USER_GROUP_FORMAT))
+    for n, v in {**P, **extra}.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    return tr
+
+
+@pytest.mark.parametrize("m", [1, 2])
+def test_pallas_svdpp_matches_jnp_interpret(m):
+    from jax.experimental.pallas import tpu as pltpu
+
+    ds = synth_ds()
+    tr = make(dict(rows_per_user=m))
+    stacked, chunk_id, fb, _, overlap = tr._pack_plus(ds)
+    assert fb["fb_idx"].shape[0] >= 3, "want multiple chunks"
+    G = stacked["label"].shape[1] // m
+    fbh = (
+        tr.tparam.scale_lr_ufeedback,
+        tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    R = 2
+    lr = jnp.float32(tr.learning_rate)
+
+    st = jax.tree.map(jnp.copy, tr.state)
+    for _ in range(R):
+        st = train_epoch_plus(
+            st, stacked, chunk_id, fb, overlap, lr, tr.consts, tr.hp,
+            *fbh, rows_per_user=m,
+        )
+
+    lrs = jnp.full((R,), lr, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = train_rounds_svdpp_pallas(
+            jax.tree.map(jnp.copy, tr.state), stacked, chunk_id, fb,
+            overlap, lrs, tr.consts, tr.hp, G, m, tr.model.off_user, tr.model.off_item, *fbh,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.w), np.asarray(st.w), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.b), np.asarray(st.b), atol=5e-4, rtol=1e-3
+    )
+    assert int(out.step) == int(st.step)
+
+
+def test_supported_gate():
+    ds = synth_ds()
+    tr = make(dict(rows_per_user=1))
+    stacked, _, fb, _, _ = tr._pack_plus(ds)
+    # synthetic shapes fail only the GS%128 lane gate; everything else holds
+    assert not pallas_svdpp_supported(
+        tr.hp, tr.state, stacked, fb, tr.model.off_user
+    )
+    import dataclasses
+
+    hp = dataclasses.replace(tr.hp, reg_method=4)
+    assert not pallas_svdpp_supported(hp, tr.state, stacked, fb, tr.model.off_user)
+
+
+def test_update_rounds_matches_per_round_updates():
+    """SVDPPFeatureTrainer.update_rounds == N sequential update_all calls
+    on the jnp path (CPU)."""
+    ds = synth_ds(seed=3)
+    a = make(dict(rows_per_user=2))
+    b = make(dict(rows_per_user=2))
+    for _ in range(3):
+        a.update_all(ds)
+    b.update_rounds(ds, 3)
+    np.testing.assert_array_equal(np.asarray(a.state.w), np.asarray(b.state.w))
+    np.testing.assert_array_equal(np.asarray(a.state.b), np.asarray(b.state.b))
