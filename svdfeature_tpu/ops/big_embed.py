@@ -147,15 +147,16 @@ def gather_rows(w, idx, *, row_dma: bool):
     return w[idx]
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
-def train_step_big(state, batch, lr, consts, hp):
-    """One batched SGD step for tables above ONEHOT_THRESHOLD.
+def _forward_entries(state, batch, lr, consts, hp):
+    """Shared front half of the big-table step: lazy-global catch-up,
+    forward, error, global-bias update, and the batch's (row, payload)
+    entry stream.  Used by both the sorted-dedup write path below and the
+    tile-sweep write path (ops/tile_sweep.py).
 
-    ``state.w`` must be in the augmented layout (augment_state) with
-    ``hp.num_factor`` holding k.  Semantics mirror ops/embed.train_step
-    (same reference citations); the round loop can scan either step.
+    Returns (g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep)
+    where payload is [E, k+3] = [dw | db | cnt_u | cnt_i] per entry.
     """
-    from .embed import TrainState, _gather_sum, _touch_counts, _update_global
+    from .embed import _gather_sum, _touch_counts, _update_global
 
     w, g = state.w, state.g
     n_tbl, Wd = w.shape
@@ -242,6 +243,34 @@ def train_step_big(state, batch, lr, consts, hp):
     payload = jnp.concatenate(
         [pay_w, pay_b[:, None], cnt_u[:, None], cnt_i[:, None]], axis=1
     )  # [E, k+3]
+    nstep = step0 + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
+    return g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_step_big(state, batch, lr, consts, hp):
+    """One batched SGD step for tables above ONEHOT_THRESHOLD.
+
+    ``state.w`` must be in the augmented layout (augment_state) with
+    ``hp.num_factor`` holding k.  Semantics mirror ops/embed.train_step
+    (same reference citations); the round loop can scan either step.
+    """
+    from .embed import TrainState
+
+    w = state.w
+    n_tbl, Wd = w.shape
+    k = hp.num_factor
+    assert 0 < k <= Wd - 2, "augmented layout requires hp.num_factor"
+    dummy = n_tbl - 1
+    B, Su = batch["u_idx"].shape
+    Si = batch["i_idx"].shape[1]
+    step0 = state.step
+    lazy = hp.reg_method >= 4
+    f32 = jnp.float32
+
+    g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep = _forward_entries(
+        state, batch, lr, consts, hp
+    )
 
     order, si, acc, first, last = sorted_dedup(ent_idx, payload)
     dw = acc[:, :k]
@@ -325,7 +354,6 @@ def train_step_big(state, batch, lr, consts, hp):
     out_rows = jnp.where(is_real[:, None], out_rows, 0.0)
     w = write_rows_unique(w, tgt, out_rows, row_dma=hp.row_dma)
 
-    nstep = step0 + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
     return TrainState(
         w=w, b=state.b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=ref_g
     )
