@@ -61,18 +61,24 @@ def aug_width(k: int) -> int:
     return ((k + 2 + 127) // 128) * 128
 
 
-def augment_state(state, k: int):
+def augment_state(state, k: int, pad_rows_to: int = 0):
     """Standard TrainState -> augmented big-path layout.
 
     w becomes [N, W] rows ``[factors | bias | ref_bits | 0]``; b/ref_ui
     shrink to size 0 (single source of truth is the augmented table).
+    pad_rows_to: round the row count up to this multiple (the tile-sweep
+    path needs whole tiles; pad rows are zero and never addressed — the
+    dummy row stays at its unpadded position).
     """
     n = state.w.shape[0]
+    n_out = n
+    if pad_rows_to:
+        n_out = -(-n // pad_rows_to) * pad_rows_to
     W = aug_width(k)
-    aug = jnp.zeros((n, W), jnp.float32)
-    aug = aug.at[:, :k].set(state.w)
-    aug = aug.at[:, k].set(state.b)
-    aug = aug.at[:, k + 1].set(
+    aug = jnp.zeros((n_out, W), jnp.float32)
+    aug = aug.at[:n, :k].set(state.w)
+    aug = aug.at[:n, k].set(state.b)
+    aug = aug.at[:n, k + 1].set(
         jax.lax.bitcast_convert_type(state.ref_ui, jnp.float32)
     )
     return dataclasses.replace(
@@ -83,9 +89,15 @@ def augment_state(state, k: int):
     )
 
 
-def deaugment_state(state, k: int):
-    """Inverse of augment_state (used for checkpointing / prediction)."""
+def deaugment_state(state, k: int, n_rows: int = 0):
+    """Inverse of augment_state (used for checkpointing / prediction).
+
+    n_rows: unpadded row count to slice back to (when the table was
+    padded for the sweep path); 0 = no padding was applied.
+    """
     aug = state.w
+    if n_rows:
+        aug = aug[:n_rows]
     return dataclasses.replace(
         state,
         w=aug[:, :k],

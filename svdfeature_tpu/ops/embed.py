@@ -69,6 +69,13 @@ class HyperParams:
     # num_factor carries k (the augmented rows are wider than k)
     big_table: bool = False
     num_factor: int = 0
+    # tile-sweep write path for dense large batches (ops/tile_sweep.py):
+    # pack-time sort plans + one-hot MXU tiles instead of row-granular
+    # takes/DMAs.  Requires sweep plans in the batch dict and the
+    # augmented table padded to a multiple of sweep_tile.
+    sweep_table: bool = False
+    sweep_tile: int = 2048
+    sweep_ecap: int = 1024
 
 
 @jax.tree_util.register_dataclass
@@ -493,6 +500,10 @@ def train_step(
     w, b, g = state.w, state.b, state.g
     n_ui = w.shape[0]
     if hp.big_table:
+        if hp.sweep_table:
+            from .tile_sweep import train_step_sweep
+
+            return train_step_sweep.__wrapped__(state, batch, lr, consts, hp)
         from .big_embed import train_step_big
 
         return train_step_big.__wrapped__(state, batch, lr, consts, hp)

@@ -64,6 +64,10 @@ class SVDFeatureTrainer:
         # (glibc rand), matching the reference binary's round-0 snapshot
         # byte-for-byte; numpy RandomState otherwise (fast, vectorized)
         self.exact_rng = False
+        # big_sweep: tile-sweep write path for the big-table step
+        # (ops/tile_sweep.py).  -1 = auto (on for batches dense enough
+        # that most tiles are touched anyway), 0 = off, 1 = force on
+        self.big_sweep = -1
         self.round_counter = 0
         self.learning_rate: float = 0.01
         self.model: Optional[SVDModel] = None
@@ -102,6 +106,8 @@ class SVDFeatureTrainer:
             self.seed = int(val)
         if name == "exact_rng":
             self.exact_rng = bool(int(val))
+        if name == "big_sweep":
+            self.big_sweep = int(val)
         self.tparam.set_param(name, val)
         self.u_param.set_param(name, val)
         self.i_param.set_param(name, val)
@@ -132,7 +138,9 @@ class SVDFeatureTrainer:
         if self.hp is not None and self.hp.big_table:
             from ..ops.big_embed import deaugment_state
 
-            return deaugment_state(self.state, self.hp.num_factor)
+            return deaugment_state(
+                self.state, self.hp.num_factor, n_rows=self.model.num_rows + 1
+            )
         return self.state
 
     def _sync_model_from_state(self) -> None:
@@ -173,7 +181,26 @@ class SVDFeatureTrainer:
         elif self.hp.big_table:
             from ..ops.big_embed import augment_state
 
-            self.state = augment_state(self.state, k)
+            if self.hp.sweep_table:
+                # whole tiles for the sweep kernel; wd row tables padded
+                # to match (pad rows decay by 0 and are never addressed)
+                self.state = augment_state(
+                    self.state, k, pad_rows_to=self.hp.sweep_tile
+                )
+                n_pad = self.state.w.shape[0]
+                self.consts = dataclasses.replace(
+                    self.consts,
+                    wd_u_row=jnp.pad(
+                        self.consts.wd_u_row,
+                        (0, n_pad - self.consts.wd_u_row.shape[0]),
+                    ),
+                    wd_i_row=jnp.pad(
+                        self.consts.wd_i_row,
+                        (0, n_pad - self.consts.wd_i_row.shape[0]),
+                    ),
+                )
+            else:
+                self.state = augment_state(self.state, k)
 
     def _init_mesh(self) -> None:
         """Shard the trainer over a (mesh_data x mesh_model) device mesh."""
@@ -224,9 +251,21 @@ class SVDFeatureTrainer:
             and self.model.num_rows + 1 > ONEHOT_THRESHOLD
             and self.mesh_data * self.mesh_model == 1
         )
+        # tile-sweep auto rule: worthwhile once the batch's entries would
+        # touch most tiles anyway (>= ~ECAP/2 entries per tile on average
+        # at the minimum 2 entries/example); sparse batches keep the
+        # latency-bound sorted-dedup step, which touches only its rows
+        from ..ops.tile_sweep import SWEEP_ECAP, SWEEP_TILE
+
+        n_tiles = -(-(self.model.num_rows + 1) // SWEEP_TILE)
+        sweep_auto = 2 * self.batch_size >= n_tiles * SWEEP_ECAP // 2
+        sweep = big and (
+            self.big_sweep == 1 or (self.big_sweep == -1 and sweep_auto)
+        )
         return HyperParams(
             big_table=big,
             num_factor=p.num_factor if big else 0,
+            sweep_table=sweep,
             row_dma=big and default_device_is_tpu(),
             active_type=self.mtype.active_type,
             no_user_bias=p.no_user_bias,
@@ -300,6 +339,15 @@ class SVDFeatureTrainer:
                 num_item=m.param.num_item,
             )
             arrays = packed.arrays()
+            if self.hp is not None and self.hp.sweep_table:
+                from ..ops.tile_sweep import attach_sweep_plans
+
+                arrays = attach_sweep_plans(
+                    arrays,
+                    int(self.state.w.shape[0]),
+                    self.hp.sweep_tile,
+                    self.hp.sweep_ecap,
+                )
             if self._mesh is not None:
                 # multi-process: each host stages only its data slice
                 from ..parallel.mesh import put_process_sharded
@@ -328,7 +376,17 @@ class SVDFeatureTrainer:
             seg_caps=tuple(max_nnz),
             min_batches=min_batches,
         )
-        return packed.arrays(), chunk.num_row
+        arrays = packed.arrays()
+        if self.hp is not None and self.hp.sweep_table:
+            from ..ops.tile_sweep import attach_sweep_plans
+
+            arrays = attach_sweep_plans(
+                arrays,
+                int(self.state.w.shape[0]),
+                self.hp.sweep_tile,
+                self.hp.sweep_ecap,
+            )
+        return arrays, chunk.num_row
 
     def train_chunk(self, arrays) -> None:
         """One on-device pass over a staged chunk (dispatch is async, so
