@@ -21,6 +21,7 @@ hardware the reference runs on.
 
 import gzip
 import json
+import os
 import pathlib
 import sys
 import time
@@ -188,6 +189,69 @@ def main() -> None:
     # pair resampling + extra compilations dominate the driver budget;
     # P@20 parity is gated by tests/test_golden_full.py (slow suite).
 
+    # ---- bigTable (synthetic KDD-Cup-scale: 2M-row table, k=64) -----------
+    # Every real SVDFeature workload lives far above ONEHOT_THRESHOLD
+    # (KDD-Cup 2011: ~1M users x ~600k items); this measures the
+    # large-table write path (ops/big_embed.py sorted-dedup or
+    # ops/tile_sweep.py tile sweep, auto-selected) instead of the
+    # demo-scale one-hot path.  Parity of both paths with the small-table
+    # step is pinned by tests/test_big_embed.py + tests/test_tile_sweep.py.
+    big_eps = None
+    try:
+        from svdfeature_tpu.data.csr import CSRDataset
+
+        NU, NI, KF = 1_000_000, 1_048_576, 64
+        EX = 1 << 21  # examples per epoch
+        if os.environ.get("BENCH_SMALL"):  # CPU smoke mode (CI/dev only)
+            NU, NI, EX = 8_192, 8_192, 1 << 14
+        brng = np.random.default_rng(7)
+        uu = brng.integers(0, NU, EX).astype(np.uint32)
+        ii = brng.integers(0, NI, EX).astype(np.uint32)
+        # planted rank-8 structure so learning is observable
+        pu = brng.standard_normal((NU, 8), dtype=np.float32) * 0.25
+        qi = brng.standard_normal((NI, 8), dtype=np.float32) * 0.25
+        labels = 3.0 + np.einsum("ek,ek->e", pu[uu], qi[ii])
+        del pu, qi
+        row_ptr = np.zeros(3 * EX + 1, np.int32)
+        row_ptr[1:] = np.cumsum(np.tile(np.array([0, 1, 1], np.int32), EX))
+        index = np.empty(2 * EX, np.uint32)
+        index[0::2] = uu
+        index[1::2] = ii
+        bds = CSRDataset(
+            labels=labels.astype(np.float32),
+            row_ptr=row_ptr,
+            index=index,
+            value=np.ones(2 * EX, np.float32),
+        )
+        bp = [
+            ("base_score", "3"), ("learning_rate", "0.005"),
+            ("wd_item", "0.004"), ("wd_user", "0.004"),
+            ("num_item", str(NI)), ("num_user", str(NU)),
+            ("num_factor", str(KF)), ("batch_size", str(min(1 << 19, EX // 4))),
+        ]
+        BR = 5
+        probe = bds.slice_rows(0, 4096)
+        tb = make(SVDFeatureTrainer, {}, bp)
+        rmse0 = rmse(tb.predict_all(probe), probe.labels)
+        tb.update_rounds(bds, 1)  # compile + warm
+        _ = int(tb.state.step)
+        t0 = time.time()
+        tb.update_rounds(bds, BR)
+        _ = int(tb.state.step)
+        d = time.time() - t0
+        big_eps = round(BR * EX / d)
+        rmse1 = rmse(tb.predict_all(probe), probe.labels)
+        workloads["bigTable"] = {
+            "examples_per_sec": big_eps,
+            "table_rows": NU + NI,
+            "write_path": "sweep" if tb.hp.sweep_table else "dedup",
+            "rmse_start": round(rmse0, 5),
+            "rmse_after": round(rmse1, 5),
+            "learning_ok": rmse1 < rmse0,
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: bigTable bench failed: {e}", file=sys.stderr)
+
     base_eps = golden["basicMF"]["examples_per_sec_cpu"]
     out = {
         "metric": "examples_per_sec_basicMF_40rounds",
@@ -198,6 +262,7 @@ def main() -> None:
         "golden_rmse": workloads["basicMF"]["golden_rmse"],
         "rmse_ok": workloads["basicMF"]["rmse_ok"],
         "svdpp_examples_per_sec": svdpp_eps,
+        "bigtable_examples_per_sec": big_eps,
         "device": str(jax.devices()[0]),
         "workloads": workloads,
     }
