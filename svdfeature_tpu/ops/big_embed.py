@@ -159,14 +159,21 @@ def gather_rows(w, idx, *, row_dma: bool):
     return w[idx]
 
 
-def _forward_entries(state, batch, lr, consts, hp):
+def _forward_entries(state, batch, lr, consts, hp, p_u_extra=None, bias_extra=None):
     """Shared front half of the big-table step: lazy-global catch-up,
     forward, error, global-bias update, and the batch's (row, payload)
-    entry stream.  Used by both the sorted-dedup write path below and the
-    tile-sweep write path (ops/tile_sweep.py).
+    entry stream.  Used by the sorted-dedup write path below, the
+    tile-sweep write path (ops/tile_sweep.py) and the big-table SVD++
+    epoch (ops/svdpp_big.py).
 
-    Returns (g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep)
-    where payload is [E, k+3] = [dw | db | cnt_u | cnt_i] per entry.
+    p_u_extra/bias_extra inject the SVD++ feedback term exactly as in
+    ops/embed.forward_scores (prepare_svdpp / get_bias_svdpp,
+    apex_svd_base.h:429-437): the extra joins p_u BEFORE the item
+    payload is formed, so item rows are updated with the full
+    tmp_ufactor including feedback (update_no_decay, :408-416).
+
+    Returns (g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep,
+    err, p_i) where payload is [E, k+3] = [dw | db | cnt_u | cnt_i].
     """
     from .embed import _gather_sum, _touch_counts, _update_global
 
@@ -218,10 +225,14 @@ def _forward_entries(state, batch, lr, consts, hp):
             wi = _soft_threshold(wi, (lam_i * el_i)[..., None])
     p_u = jnp.einsum("bs,bsk->bk", u_val, wu)
     p_i = jnp.einsum("bs,bsk->bk", i_val, wi)
+    if p_u_extra is not None:
+        p_u = p_u + p_u_extra
     score = hp.base_score + _gather_sum(g, g_idx, batch["g_val"])
     score = score + jnp.einsum("bs,bs->b", i_val, bi)
     if not hp.no_user_bias:
         score = score + jnp.einsum("bs,bs->b", u_val, bu)
+        if bias_extra is not None:
+            score = score + bias_extra
     score = score + jnp.einsum("bk,bk->b", p_u, p_i)
     pred = losses.map_active(score, hp.active_type)
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
@@ -256,33 +267,22 @@ def _forward_entries(state, batch, lr, consts, hp):
         [pay_w, pay_b[:, None], cnt_u[:, None], cnt_i[:, None]], axis=1
     )  # [E, k+3]
     nstep = step0 + jnp.sum(batch["weight"] > 0).astype(jnp.int32)
-    return g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep
+    return g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, err, p_i
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
-def train_step_big(state, batch, lr, consts, hp):
-    """One batched SGD step for tables above ONEHOT_THRESHOLD.
+def apply_entries(w, step0, ent_idx, payload, rows_u, rows_i, wu, wi, lr, consts, hp):
+    """Back half of the big-table step: sorted-dedup merge of the entry
+    stream, per-touched-row regularization, ONE unique-row write.
 
-    ``state.w`` must be in the augmented layout (augment_state) with
-    ``hp.num_factor`` holding k.  Semantics mirror ops/embed.train_step
-    (same reference citations); the round loop can scan either step.
+    Shared by train_step_big and the big-table SVD++ epoch
+    (ops/svdpp_big.py).  Same reference citations as the module header
+    (update_no_decay apex_svd_base.h:383-427, regularize modes :188-310).
     """
-    from .embed import TrainState
-
-    w = state.w
     n_tbl, Wd = w.shape
     k = hp.num_factor
-    assert 0 < k <= Wd - 2, "augmented layout requires hp.num_factor"
     dummy = n_tbl - 1
-    B, Su = batch["u_idx"].shape
-    Si = batch["i_idx"].shape[1]
-    step0 = state.step
     lazy = hp.reg_method >= 4
     f32 = jnp.float32
-
-    g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep = _forward_entries(
-        state, batch, lr, consts, hp
-    )
 
     order, si, acc, first, last = sorted_dedup(ent_idx, payload)
     dw = acc[:, :k]
@@ -364,8 +364,29 @@ def train_step_big(state, batch, lr, consts, hp):
     out_rows = out_rows.at[:, k].set(new_b)
     out_rows = out_rows.at[:, k + 1].set(ref_col)
     out_rows = jnp.where(is_real[:, None], out_rows, 0.0)
-    w = write_rows_unique(w, tgt, out_rows, row_dma=hp.row_dma)
+    return write_rows_unique(w, tgt, out_rows, row_dma=hp.row_dma)
 
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_step_big(state, batch, lr, consts, hp):
+    """One batched SGD step for tables above ONEHOT_THRESHOLD.
+
+    ``state.w`` must be in the augmented layout (augment_state) with
+    ``hp.num_factor`` holding k.  Semantics mirror ops/embed.train_step
+    (same reference citations); the round loop can scan either step.
+    """
+    from .embed import TrainState
+
+    k = hp.num_factor
+    assert 0 < k <= state.w.shape[1] - 2, "augmented layout requires hp.num_factor"
+
+    g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, _err, _pi = (
+        _forward_entries(state, batch, lr, consts, hp)
+    )
+    w = apply_entries(
+        state.w, state.step, ent_idx, payload, rows_u, rows_i, wu, wi,
+        lr, consts, hp,
+    )
     return TrainState(
         w=w, b=state.b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=ref_g
     )

@@ -349,8 +349,8 @@ def train_step_sweep(state, batch, lr, consts, hp):
     assert 0 < k + 3 <= W, "sweep payload needs k+3 lanes"
     assert n_pad % hp.sweep_tile == 0
 
-    g, ref_g, ent_idx, payload, _ru, _ri, _wu, _wi, nstep = _forward_entries(
-        state, batch, lr, consts, hp
+    g, ref_g, ent_idx, payload, _ru, _ri, _wu, _wi, nstep, _err, _pi = (
+        _forward_entries(state, batch, lr, consts, hp)
     )
     E = ent_idx.shape[0]
     pay = jnp.zeros((E + 1, W), jnp.float32).at[:E, : k + 3].set(payload)

@@ -60,6 +60,10 @@ class BParam:
 
 
 class SVDBiLinearTrainer(SVDPPFeatureTrainer):
+    # the bilinear epoch drives the standard state layout (bias plugin +
+    # W_bi coupling); big-table routing applies to base/SVD++ only
+    SUPPORTS_BIG_TABLE = False
+
     def _init_mesh(self) -> None:
         raise NotImplementedError(
             "multi-chip training (mesh_data/mesh_model) is implemented for "

@@ -19,6 +19,10 @@ from .svdpp import SVDPPFeatureTrainer
 
 
 class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
+    # the stacked-IMFB epoch drives the standard state layout; big-table
+    # routing applies to base/SVD++ only
+    SUPPORTS_BIG_TABLE = False
+
     def _init_mesh(self) -> None:
         raise NotImplementedError(
             "multi-chip training (mesh_data/mesh_model) is implemented for "

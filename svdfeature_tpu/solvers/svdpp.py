@@ -23,9 +23,10 @@ from .base import SVDFeatureTrainer
 
 
 class SVDPPFeatureTrainer(SVDFeatureTrainer):
-    # the SVD++ epoch kernels (ops/svdpp.py) drive the standard state
-    # layout directly; big-table routing not wired yet
-    SUPPORTS_BIG_TABLE = False
+    # tables above ONEHOT_THRESHOLD route to the augmented-layout epoch
+    # (ops/svdpp_big.py); requires a disjoint feedback space — with
+    # common_feedback_space=1 the small-table layout is kept (_build_hp)
+    SUPPORTS_BIG_TABLE = True
 
     def __init__(self, mtype):
         super().__init__(mtype)
@@ -50,6 +51,25 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         if name == "rows_per_user":
             self.rows_per_user = int(val)
         super().set_param(name, val)
+
+    def _build_hp(self):
+        import dataclasses
+
+        hp = super()._build_hp()
+        if hp.big_table:
+            if self.model.param.common_feedback_space:
+                # feedback rows alias user rows: mid-chunk row updates
+                # touch the pool, the chunk closed form does not hold,
+                # and the refresh fallback drives the standard layout —
+                # keep the small-table path (correct, slower)
+                return dataclasses.replace(
+                    hp, big_table=False, sweep_table=False, row_dma=False,
+                    num_factor=0,
+                )
+            # SVD++ batches (G users x M rows) are far too sparse for
+            # the tile sweep; the sorted-dedup write path is the big one
+            hp = dataclasses.replace(hp, sweep_table=False)
+        return hp
 
     def _check_mesh_supported(self) -> None:
         if self.hp.reg_method >= 4 or self.hp.reg_global >= 4:
@@ -131,6 +151,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         if not (self.use_pallas and default_device_is_tpu()):
             return False
         if self._mesh is not None or self.model.param.common_feedback_space:
+            return False
+        if self.hp.big_table:  # augmented layout; table exceeds VMEM
             return False
         from ..ops.pallas_svdpp import pallas_svdpp_supported
 
@@ -241,7 +263,13 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 rows_per_user=self.rows_per_user,
             )
             return
-        self.state = train_epoch_plus(
+        if self.hp.big_table:
+            from ..ops.svdpp_big import train_epoch_plus_big
+
+            epoch = train_epoch_plus_big
+        else:
+            epoch = train_epoch_plus
+        self.state = epoch(
             self.state,
             stacked,
             chunk_id,
