@@ -137,6 +137,10 @@ def pack_plus(
     num_ufeedback: Optional[int] = None,
     sort_blocks: bool = False,
     rows_per_user: int = 1,
+    t_cap: int = 0,
+    f_cap: int = 0,
+    c_cap: int = 0,
+    seg_caps=None,
 ) -> PackedPlusBatches:
     """rows_per_user (M): consecutive rows of each user trained in the
     same batch.  M=1 is the strict one-row-per-user layout; M>1 widens
@@ -144,9 +148,19 @@ def pack_plus(
     state and user factors; gradients sum), cutting the number of scan
     steps per epoch by ~M — the per-user sequential chain is the epoch's
     critical path (T >= ceil(max block size / M)).  RMSE parity verified
-    on the implicitFeedback demo up to M=8 (tests/test_svdpp_multirow)."""
+    on the implicitFeedback demo up to M=8 (tests/test_svdpp_multirow).
+
+    t_cap/f_cap/c_cap/seg_caps: pad the packed shapes to fixed caps so
+    every chunk of a STREAM compiles to the same program
+    (data/streaming.py).  When caps are given, G is pinned to
+    users_per_batch, one extra all-padding chunk is reserved, and batch
+    slots [T, t_cap) point at it (empty pool, zero weights)."""
     blocks = merge_split_blocks(ds)
-    G = max(1, min(users_per_batch, len(blocks)))
+    use_caps = bool(t_cap or f_cap or c_cap)
+    if use_caps:
+        G = max(1, users_per_batch)
+    else:
+        G = max(1, min(users_per_batch, len(blocks)))
     M = max(1, rows_per_user)
 
     sizes = np.array([b.data.num_row for b in blocks], np.int64)
@@ -167,6 +181,18 @@ def pack_plus(
     Tcs = [-(-int(sizes[ch].max()) // M) for ch in chunks]
     T = sum(Tcs)
     GS = G * M  # slots per batch; slot = g*M + m
+    C_out, T_out = C, T
+    if use_caps:
+        if f_cap:
+            if F > f_cap:
+                raise ValueError(f"chunk feedback pool {F} exceeds f_cap {f_cap}")
+            F = f_cap
+        T_out = max(T, t_cap)
+        C_out = max(C + 1, c_cap)  # reserve the all-padding chunk
+        if t_cap and T > t_cap:
+            raise ValueError(f"packed scan length {T} exceeds t_cap {t_cap}")
+        if c_cap and C + 1 > c_cap:
+            raise ValueError(f"chunk count {C}+pad exceeds c_cap {c_cap}")
 
     rows_all = CSRDataset.concat([b.data for b in blocks])
     R = rows_all.num_row
@@ -187,24 +213,35 @@ def pack_plus(
         idx, val, rws = expand_segment(idx, val, rws, feat, scale)
         dummy = num_global if seg == 0 else num_rows_table
         pi, pv = _pad_segment(idx.astype(np.int64) + off, val, rws, R, dummy)
+        if seg_caps is not None:
+            cap = int(seg_caps[seg])
+            if pi.shape[1] > cap:
+                raise ValueError(
+                    f"segment {name} width {pi.shape[1]} exceeds cap {cap}"
+                )
+            if pi.shape[1] < cap:
+                pad = cap - pi.shape[1]
+                pi = np.pad(pi, ((0, 0), (0, pad)), constant_values=dummy)
+                pv = np.pad(pv, ((0, 0), (0, pad)))
         seg_padded.append((pi, pv))
         seg_widths.append(pi.shape[1])
 
     dummy_row = num_rows_table
     out = {
-        "label": np.zeros((T, GS), np.float32),
-        "weight": np.zeros((T, GS), np.float32),
-        "g_idx": np.full((T, GS, seg_widths[0]), num_global, np.int32),
-        "g_val": np.zeros((T, GS, seg_widths[0]), np.float32),
-        "u_idx": np.full((T, GS, seg_widths[1]), dummy_row, np.int32),
-        "u_val": np.zeros((T, GS, seg_widths[1]), np.float32),
-        "i_idx": np.full((T, GS, seg_widths[2]), dummy_row, np.int32),
-        "i_val": np.zeros((T, GS, seg_widths[2]), np.float32),
+        "label": np.zeros((T_out, GS), np.float32),
+        "weight": np.zeros((T_out, GS), np.float32),
+        "g_idx": np.full((T_out, GS, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T_out, GS, seg_widths[0]), np.float32),
+        "u_idx": np.full((T_out, GS, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T_out, GS, seg_widths[1]), np.float32),
+        "i_idx": np.full((T_out, GS, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T_out, GS, seg_widths[2]), np.float32),
     }
-    chunk_id = np.zeros(T, np.int32)
-    fb_idx = np.full((C, F), dummy_row, np.int32)
-    fb_val = np.zeros((C, F), np.float32)
-    fb_block = np.full((C, F), G, np.int32)
+    # padding batch slots point at the reserved all-padding chunk
+    chunk_id = np.full(T_out, C_out - 1, np.int32)
+    fb_idx = np.full((C_out, F), dummy_row, np.int32)
+    fb_val = np.zeros((C_out, F), np.float32)
+    fb_block = np.full((C_out, F), G, np.int32)
     perm = np.zeros(R, np.int64)
 
     t0 = 0

@@ -135,6 +135,19 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
             cfg.attach_skip,
             cfg.attach_insert,
         ).materialize()
+    if dtype == it.BINARY_BUFFER and cfg.streaming:
+        from .streaming import StreamingPlusBuffer
+
+        path = cfg.buffer_feature or "svdplusfeature_buf"
+        if not os.path.exists(path):
+            if not cfg.silent:
+                print(f"can't open buffer {path}, creating from data_in={cfg.data_in}")
+            ds = load_plus_text(
+                cfg.data_in, cfg.feedback_in, cfg.scale_score, cfg.block_max_line
+            )
+            write_plus_buffer(path, ds)
+        # stream_chunk counts logical user blocks for the plus format
+        return StreamingPlusBuffer(path, cfg.stream_chunk)
     if dtype == it.BINARY_BUFFER:
         path = cfg.buffer_feature or "svdplusfeature_buf"
         if not os.path.exists(path):

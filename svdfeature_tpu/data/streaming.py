@@ -122,3 +122,157 @@ def stream_train_round(trainer, source: StreamingCSRBuffer, prefetch: int = 2):
     finally:
         stop.set()
         t.join(timeout=30)
+
+
+class StreamingPlusBuffer:
+    """Bounded-memory reader over a user-group binary buffer
+    (SVDPlusBlockFactory layout, apex_svd_data.cpp:556-671) — the
+    streaming source for SVD++-family training.
+
+    ``blocks_per_chunk`` counts LOGICAL user blocks: split
+    START..MIDDLE..END families (apex_svd_data.h:353-371) are never cut
+    across streamed chunks, so merge_split_blocks inside pack_plus sees
+    complete families.  The structure pre-scan records per-logical-block
+    row counts, feedback sizes and raw per-row segment widths; a
+    pack-shape plan (``plan_caps``) derived from them lets every chunk
+    compile to ONE program (pack_plus caps).
+    """
+
+    def __init__(self, path: str, blocks_per_chunk: int = 1 << 12):
+        from .csr import TAG_DEFAULT, TAG_END
+
+        self.path = path
+        self.blocks_per_chunk = blocks_per_chunk
+        self.max_nnz = [1, 1, 1]
+        # per PHYSICAL block: (rows, nfb, tag); logical sizes accumulated
+        self.phys: list = []
+        self.logical_sizes: list = []  # rows per logical block
+        self.logical_fb: list = []  # feedback entries per logical block
+        self.logical_phys_count: list = []  # physical blocks per logical
+        pend_rows = pend_fb = pend_cnt = 0
+        with open(path, "rb") as f:
+            (num_batch,) = struct.unpack("<i", f.read(4))
+            f.read(12)
+            for _ in range(num_batch):
+                (raw,) = struct.unpack("<i", f.read(4))
+                if raw < 0:
+                    nfb = raw & 0x7FFFFFFF
+                    (tag,) = struct.unpack("<i", f.read(4))
+                else:
+                    nfb, tag = raw, TAG_DEFAULT
+                f.seek(8 * nfb, 1)
+                num_row, num_val = struct.unpack("<ii", f.read(8))
+                rp = np.frombuffer(f.read(4 * (3 * num_row + 1)), "<i4")
+                if num_row:
+                    per_row = np.diff(rp.astype(np.int64)).reshape(num_row, 3)
+                    for s in range(3):
+                        m = int(per_row[:, s].max(initial=0))
+                        if m > self.max_nnz[s]:
+                            self.max_nnz[s] = m
+                f.seek(4 * num_row + 8 * num_val, 1)
+                self.phys.append((num_row, nfb, tag))
+                pend_rows += num_row
+                pend_fb += nfb
+                pend_cnt += 1
+                if tag in (TAG_DEFAULT, TAG_END):  # terminates a logical block
+                    self.logical_sizes.append(pend_rows)
+                    self.logical_fb.append(pend_fb)
+                    self.logical_phys_count.append(pend_cnt)
+                    pend_rows = pend_fb = pend_cnt = 0
+        if pend_cnt:
+            raise ValueError("unterminated split block sequence in buffer")
+        self.num_block = len(self.logical_sizes)
+        self.num_row = int(sum(self.logical_sizes))
+
+    def plan_caps(self, G: int, M: int = 1) -> dict:
+        """Stable pack_plus caps for chunks of ``blocks_per_chunk``
+        logical blocks grouped G users per batch, M rows per user."""
+        sizes = np.asarray(self.logical_sizes, np.int64)
+        fbs = np.asarray(self.logical_fb, np.int64)
+        K = self.blocks_per_chunk
+        t_cap = f_cap = c_cap = 1
+        for lo in range(0, self.num_block, K):
+            s = sizes[lo : lo + K]
+            fb = fbs[lo : lo + K]
+            t_c = f_c = 0
+            n_groups = 0
+            for g0 in range(0, len(s), G):
+                t_c += -(-int(s[g0 : g0 + G].max()) // M)
+                f_c = max(f_c, int(fb[g0 : g0 + G].sum()))
+                n_groups += 1
+            t_cap = max(t_cap, t_c)
+            f_cap = max(f_cap, f_c)
+            c_cap = max(c_cap, n_groups + 1)  # + the all-padding chunk
+        return dict(
+            t_cap=t_cap, f_cap=f_cap, c_cap=c_cap,
+            seg_caps=tuple(self.max_nnz),
+        )
+
+    def chunks(self) -> Iterator[PlusDataset]:
+        """Yield PlusDatasets of at most blocks_per_chunk logical blocks."""
+        from .buffer import _read_csr_block
+        from .csr import PlusBlock, PlusDataset, TAG_DEFAULT, TAG_END
+
+        with open(self.path, "rb") as f:
+            f.read(16)
+            blocks: list = []
+            logical = 0
+            for num_row, nfb, tag in self.phys:
+                (raw,) = struct.unpack("<i", f.read(4))
+                if raw < 0:
+                    f.read(4)
+                if nfb > 0:
+                    fb_index = np.frombuffer(f.read(4 * nfb), "<u4").copy()
+                    fb_value = np.frombuffer(f.read(4 * nfb), "<f4").copy()
+                else:
+                    fb_index = np.zeros(0, np.uint32)
+                    fb_value = np.zeros(0, np.float32)
+                data = _read_csr_block(f)
+                blocks.append(PlusBlock(fb_index, fb_value, data, extend_tag=tag))
+                if tag in (TAG_DEFAULT, TAG_END):  # logical block complete
+                    logical += 1
+                    if logical == self.blocks_per_chunk:
+                        yield PlusDataset.from_blocks(blocks)
+                        blocks, logical = [], 0
+            if blocks:
+                yield PlusDataset.from_blocks(blocks)
+
+
+def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int = 2):
+    """One SVD++ training round over a streaming user-group source.
+
+    Same producer/consumer discipline as stream_train_round; the
+    trajectory equals whole-dataset packing when blocks_per_chunk is a
+    multiple of users_per_batch (the chunk grouping is then identical —
+    pinned by tests/test_streaming.py)."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    caps = source.plan_caps(trainer.users_per_batch, trainer.rows_per_user)
+
+    def produce():
+        try:
+            for chunk in source.chunks():
+                if stop.is_set():
+                    return
+                entry = trainer.pack_plus_chunk(chunk, caps)
+                q.put(jax.device_put(entry))
+        except BaseException as e:  # pragma: no cover
+            q.put(e)
+            return
+        q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            trainer.train_chunk_plus(item)
+    finally:
+        stop.set()
+        t.join(timeout=30)

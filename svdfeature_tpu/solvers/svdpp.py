@@ -187,7 +187,9 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def update_rounds(self, ds, num_rounds: int) -> None:
         """num_rounds fused passes in one device dispatch (Pallas whole-run
         kernel when supported; per-round jnp epochs otherwise)."""
-        if hasattr(ds, "epoch_dataset"):  # PairSource: fresh pairs per epoch
+        if hasattr(ds, "epoch_dataset") or hasattr(ds, "plan_caps"):
+            # PairSource (fresh pairs per epoch) / streaming user-group
+            # buffer: one host-driven pass per round
             for _ in range(num_rounds):
                 self.update_all(ds)
                 if self.tparam.decay_learning_rate:
@@ -284,7 +286,50 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             rows_per_user=self.rows_per_user,
         )
 
+    # ---- streaming (out-of-core user-group buffers) -----------------------
+    def pack_plus_chunk(self, chunk: PlusDataset, caps: dict):
+        """Pack one streamed user-group chunk to the stream's stable
+        shapes (file order — the reference's streaming iterators also
+        process blocks in file order, apex_svd_data.cpp:1265-1299)."""
+        m = self.model
+        packed = pack_plus(
+            chunk,
+            self.users_per_batch,
+            m.num_rows,
+            m.param.num_global,
+            m.off_user,
+            m.off_item,
+            m.off_ufeedback,
+            feat_user=self.feat_user,
+            feat_item=self.feat_item,
+            num_user=m.param.num_user,
+            num_item=m.param.num_item,
+            num_ufeedback=m.param.num_ufeedback,
+            rows_per_user=self.rows_per_user,
+            **caps,
+        )
+        return (
+            packed.device_arrays(),
+            packed.chunk_id,
+            packed.fb_arrays(),
+            packed.fb_overlap,
+        )
+
+    def train_chunk_plus(self, entry) -> None:
+        stacked, chunk_id, fb, overlap = entry
+        self._train_packed((stacked, chunk_id, fb, None, overlap))
+
+    def _stream_round_plus(self, ds) -> None:
+        from ..data.streaming import stream_train_round_plus
+
+        if self._mesh is not None:
+            raise NotImplementedError("streaming + mesh not wired for SVD++")
+        stream_train_round_plus(self, ds)
+
     def update_all(self, ds) -> None:
+        if hasattr(ds, "plan_caps"):  # StreamingPlusBuffer
+            self._stream_round_plus(ds)
+            return
         if hasattr(ds, "epoch_dataset"):  # PairSource: fresh pairs per epoch
             self._train_packed(self._pack_plus(ds.epoch_dataset(), cache=False))
             return

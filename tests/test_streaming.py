@@ -95,3 +95,114 @@ def test_streaming_registry_route(tmp_path):
     assert hasattr(src, "chunks")
     assert src.num_row == 130
     assert sum(c.num_row for c in src.chunks()) == 130
+
+
+# --------------------------------------------------------------------------
+# user-group (SVD++) streaming
+# --------------------------------------------------------------------------
+def make_plus_ds(users=12, seed=3, block_max_line=10000):
+    from svdfeature_tpu.data.text import load_plus_text
+
+    rng = np.random.RandomState(seed)
+    data_lines, fb_lines = [], []
+    for u in range(users):
+        nrows = int(rng.randint(2, 7))
+        nfb = int(rng.randint(1, 5))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 15)}:{rng.rand():.3f}" for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 12)}:1"
+            )
+    return load_plus_text(
+        "x", "y", text="\n".join(data_lines),
+        feedback_text="\n".join(fb_lines), block_max_line=block_max_line,
+    )
+
+
+def make_plus_trainer(users=12, extra=None):
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
+    params = dict(
+        num_user=users, num_item=12, num_ufeedback=15, num_factor=8,
+        base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        wd_ufeedback=0.004, users_per_batch=2,
+    )
+    params.update(extra or {})
+    for k, v in params.items():
+        tr.set_param(k, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    return tr
+
+
+def test_plus_prescan_and_chunks(tmp_path):
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    # block_max_line=3 forces START/MIDDLE/END split families in the file
+    ds = make_plus_ds(block_max_line=3)
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+    assert src.num_block == 12  # logical blocks, families merged
+    assert src.num_row == ds.rows.num_row
+    # families never straddle chunks: every streamed chunk merges cleanly
+    total_rows = total_blocks = 0
+    from svdfeature_tpu.data.batching_plus import merge_split_blocks
+
+    for chunk in src.chunks():
+        logical = merge_split_blocks(chunk)
+        assert len(logical) <= 4
+        total_blocks += len(logical)
+        total_rows += chunk.rows.num_row
+    assert total_blocks == 12 and total_rows == ds.rows.num_row
+    caps = src.plan_caps(G=2, M=1)
+    assert caps["t_cap"] >= 1 and caps["c_cap"] >= 3
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_plus_streamed_trajectory_equals_staged(tmp_path, split):
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_plus_ds(block_max_line=3 if split else 10000)
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    # 4 logical blocks per chunk = 2 batches of users_per_batch=2
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer()
+    for _ in range(3):
+        staged.update_all(ds)
+    streamed = make_plus_trainer()
+    for _ in range(3):
+        streamed.update_all(src)
+
+    np.testing.assert_allclose(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged.state.b), np.asarray(streamed.state.b), atol=1e-6
+    )
+    assert int(staged.state.step) == int(streamed.state.step)
+
+
+def test_plus_streaming_registry_route(tmp_path):
+    from svdfeature_tpu.data.registry import IteratorConfig, load_plus_source
+
+    ds = make_plus_ds()
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    cfg = IteratorConfig()
+    cfg.set_param("streaming", "1")
+    cfg.set_param("stream_chunk", "4")
+    cfg.set_param("buffer_feature", path)
+    src = load_plus_source(0, cfg)
+    assert hasattr(src, "plan_caps")
+    assert src.num_block == 12
