@@ -48,9 +48,13 @@ class IteratorConfig:
         self.rank_sample_pointwise = 0
         self.seed_sampler_bytime = 0
         # out-of-core streaming (data/streaming.py): read the binary
-        # buffer in bounded chunks instead of staging it whole
+        # buffer in bounded chunks instead of staging it whole.
+        # stream_chunk counts EXAMPLES for the random-order format and
+        # logical USER BLOCKS for the user-group format (block default
+        # 1<<16 when unset — see load_plus_source)
         self.streaming = 0
         self.stream_chunk = 1 << 20
+        self.stream_chunk_set = False
         # combinators
         self.attach_skip = 1
         self.attach_insert = 1
@@ -73,6 +77,8 @@ class IteratorConfig:
                       "attach_skip", "attach_insert",
                       "streaming", "stream_chunk"):
             setattr(self, name, int(val))
+            if name == "stream_chunk":
+                self.stream_chunk_set = True
         elif name in ("filter_ufeedback", "filter_global"):
             a, b = val.split("-")
             getattr(self, name).append((int(a), int(b)))
@@ -110,14 +116,20 @@ def load_csr_source(dtype: int, cfg: IteratorConfig) -> CSRDataset:
     raise ValueError(f"unknown iterator type {dtype}")
 
 
-def load_plus_source(dtype: int, cfg: IteratorConfig):
+def load_plus_source(dtype: int, cfg: IteratorConfig, allow_streaming: bool = True):
     """Returns a PlusDataset, or a PairSource for the rank types (whose
-    pair sampling re-randomizes every epoch)."""
+    pair sampling re-randomizes every epoch).
+
+    allow_streaming is cleared for the composite/rank inner loads: the
+    filter/attach combinators and the pair sampler transform materialized
+    datasets, so streaming applies only to the plain buffer input."""
     if dtype >= 200 and dtype < 300:
         from .combinators import FilteredPlusSource
 
         return FilteredPlusSource(
-            load_plus_source(dtype % 100, cfg), cfg.filter_ufeedback, cfg.filter_global
+            load_plus_source(dtype % 100, cfg, allow_streaming=False),
+            cfg.filter_ufeedback,
+            cfg.filter_global,
         ).materialize()
     if dtype >= 100 and dtype < 200:
         from .combinators import AttachedPlusSource
@@ -130,12 +142,12 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
         for k, v in cfg.attach.items():
             acfg.set_param(k, v)
         return AttachedPlusSource(
-            load_plus_source((dtype // 10) % 10, cfg),
-            load_plus_source(dtype % 10, acfg),
+            load_plus_source((dtype // 10) % 10, cfg, allow_streaming=False),
+            load_plus_source(dtype % 10, acfg, allow_streaming=False),
             cfg.attach_skip,
             cfg.attach_insert,
         ).materialize()
-    if dtype == it.BINARY_BUFFER and cfg.streaming:
+    if dtype == it.BINARY_BUFFER and cfg.streaming and allow_streaming:
         from .streaming import StreamingPlusBuffer
 
         path = cfg.buffer_feature or "svdplusfeature_buf"
@@ -146,8 +158,11 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
                 cfg.data_in, cfg.feedback_in, cfg.scale_score, cfg.block_max_line
             )
             write_plus_buffer(path, ds)
-        # stream_chunk counts logical user blocks for the plus format
-        return StreamingPlusBuffer(path, cfg.stream_chunk)
+        # stream_chunk counts logical user blocks for the plus format; the
+        # CSR default (examples) would stage ~20x more rows per chunk, so
+        # an unset stream_chunk falls back to a block-count default
+        chunk = cfg.stream_chunk if cfg.stream_chunk_set else 1 << 16
+        return StreamingPlusBuffer(path, chunk)
     if dtype == it.BINARY_BUFFER:
         path = cfg.buffer_feature or "svdplusfeature_buf"
         if not os.path.exists(path):
@@ -166,6 +181,6 @@ def load_plus_source(dtype: int, cfg: IteratorConfig):
     if dtype in (it.BINARY_BUFFER_RANK, it.TEXT_FEATURE_RANK):
         from .rank import PairSource
 
-        inner = load_plus_source(dtype & 1, cfg)
+        inner = load_plus_source(dtype & 1, cfg, allow_streaming=False)
         return PairSource(inner, cfg)
     raise ValueError(f"unknown iterator type {dtype}")

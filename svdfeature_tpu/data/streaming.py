@@ -102,11 +102,12 @@ def stream_train_round(trainer, source: StreamingCSRBuffer, prefetch: int = 2):
                 if stop.is_set():
                     return
                 arrays, nrow = trainer.pack_chunk(chunk, Tc, source.max_nnz)
-                q.put((jax.device_put(arrays), nrow))
+                if not _put_checking_stop(q, (jax.device_put(arrays), nrow), stop):
+                    return
         except BaseException as e:  # pragma: no cover
-            q.put(e)
+            _put_checking_stop(q, e, stop)
             return
-        q.put(None)
+        _put_checking_stop(q, None, stop)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -120,8 +121,29 @@ def stream_train_round(trainer, source: StreamingCSRBuffer, prefetch: int = 2):
             arrays, _ = item
             trainer.train_chunk(arrays)
     finally:
-        stop.set()
-        t.join(timeout=30)
+        _drain_and_join(q, stop, t)
+
+
+def _put_checking_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
+    """put() that keeps observing the stop flag — a producer must never
+    stay blocked on a full queue after the consumer has failed."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+def _drain_and_join(q: queue.Queue, stop: threading.Event, t: threading.Thread):
+    stop.set()
+    try:
+        while True:
+            q.get_nowait()
+    except queue.Empty:
+        pass
+    t.join(timeout=30)
 
 
 class StreamingPlusBuffer:
@@ -144,6 +166,7 @@ class StreamingPlusBuffer:
         self.path = path
         self.blocks_per_chunk = blocks_per_chunk
         self.max_nnz = [1, 1, 1]
+        self._caps_cache: dict = {}
         # per PHYSICAL block: (rows, nfb, tag); logical sizes accumulated
         self.phys: list = []
         self.logical_sizes: list = []  # rows per logical block
@@ -186,7 +209,11 @@ class StreamingPlusBuffer:
 
     def plan_caps(self, G: int, M: int = 1) -> dict:
         """Stable pack_plus caps for chunks of ``blocks_per_chunk``
-        logical blocks grouped G users per batch, M rows per user."""
+        logical blocks grouped G users per batch, M rows per user.
+        Pure function of the pre-scan; cached per (G, M) — it is
+        re-requested every round."""
+        if (G, M) in self._caps_cache:
+            return self._caps_cache[(G, M)]
         sizes = np.asarray(self.logical_sizes, np.int64)
         fbs = np.asarray(self.logical_fb, np.int64)
         K = self.blocks_per_chunk
@@ -203,10 +230,12 @@ class StreamingPlusBuffer:
             t_cap = max(t_cap, t_c)
             f_cap = max(f_cap, f_c)
             c_cap = max(c_cap, n_groups + 1)  # + the all-padding chunk
-        return dict(
+        caps = dict(
             t_cap=t_cap, f_cap=f_cap, c_cap=c_cap,
             seg_caps=tuple(self.max_nnz),
         )
+        self._caps_cache[(G, M)] = caps
+        return caps
 
     def chunks(self) -> Iterator[PlusDataset]:
         """Yield PlusDatasets of at most blocks_per_chunk logical blocks."""
@@ -257,11 +286,12 @@ def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int 
                 if stop.is_set():
                     return
                 entry = trainer.pack_plus_chunk(chunk, caps)
-                q.put(jax.device_put(entry))
+                if not _put_checking_stop(q, jax.device_put(entry), stop):
+                    return
         except BaseException as e:  # pragma: no cover
-            q.put(e)
+            _put_checking_stop(q, e, stop)
             return
-        q.put(None)
+        _put_checking_stop(q, None, stop)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -274,5 +304,4 @@ def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int 
                 raise item
             trainer.train_chunk_plus(item)
     finally:
-        stop.set()
-        t.join(timeout=30)
+        _drain_and_join(q, stop, t)

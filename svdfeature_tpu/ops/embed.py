@@ -488,6 +488,48 @@ def _can_fuse(hp: HyperParams, batch, n_ui: int) -> bool:
     )
 
 
+def _lazy_catchup(state, cu, ci, cg, lr, consts, hp) -> TrainState:
+    """Lazy-decay catch-up (reg modes 4/5) on touched rows BEFORE the
+    gradient — regularize(pre), apex_svd_base.h:457,188-310.
+
+    Note: the reference computes k = ref - sample_counter on unsigned ints
+    (apex_svd_base.h:195,226,266), which wraps to ~2^32 and zeroes the row
+    at first catch-up whenever wd>0 — an evident sign bug.  We implement
+    the intended semantics, k = sample_counter - ref >= 0.
+
+    Shared by the base step and the SVD++ row updates (feedback pool rows
+    are never caught up: the reference regularizes only the example's
+    u/i/g feature ids in update_inner :456-462, and prepare_ufeedback
+    :523-538 reads the W rows raw).  Returns the state with w/g decayed
+    and refs stamped; the dummy ref is pinned to 0 (parity with the
+    big-table path, which lands duplicate writes there)."""
+    if hp.reg_method < 4 and hp.reg_global < 4:
+        return state
+    w, g = state.w, state.g
+    step0 = state.step
+    ref_ui, ref_g = state.ref_ui, state.ref_g
+    if hp.reg_method >= 4:
+        elapsed = (step0 - ref_ui).astype(jnp.float32)
+        touched = (cu + ci) > 0
+        k_ui = jnp.where(touched, elapsed, 0.0)
+        lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
+        if hp.reg_method == 4:
+            w = w * jnp.power(1.0 - lam, k_ui)[:, None]
+        else:
+            w = _soft_threshold(w, (lam * k_ui)[:, None])
+        ref_ui = jnp.where(touched, step0, ref_ui).at[-1].set(0)
+    if hp.reg_global >= 4:
+        elapsed_g = (step0 - ref_g).astype(jnp.float32)
+        kg = jnp.where(cg > 0, elapsed_g, 0.0)
+        lam_g = lr * consts.wd_g_row
+        if hp.reg_global == 4:
+            g = g * jnp.power(1.0 - lam_g, kg)
+        else:
+            g = _soft_threshold(g, lam_g * kg)
+        ref_g = jnp.where(cg > 0, step0, ref_g)
+    return dataclasses.replace(state, w=w, g=g, ref_ui=ref_ui, ref_g=ref_g)
+
+
 @partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
 def train_step(
     state: TrainState,
@@ -516,39 +558,13 @@ def train_step(
     ci = _touch_counts(n_ui, i_idx)
     cg = _touch_counts(n_g, g_idx)
 
-    # --- lazy-decay catch-up (reg >= 4): decay by elapsed sample count
-    # BEFORE the gradient (regularize(pre), apex_svd_base.h:457,188-310).
-    # Note: the reference computes k = ref - sample_counter on unsigned ints
-    # (apex_svd_base.h:195,226,266), which wraps to ~2^32 and zeroes the row
-    # at first catch-up whenever wd>0 — an evident sign bug.  We implement
-    # the intended semantics, k = sample_counter - ref >= 0.
+    state = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    w, g = state.w, state.g
     step0 = state.step
     ref_ui, ref_g = state.ref_ui, state.ref_g
-    if hp.reg_method >= 4:
-        elapsed = (step0 - ref_ui).astype(jnp.float32)
-        touched = (cu + ci) > 0
-        k_ui = jnp.where(touched, elapsed, 0.0)
-        lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
-        if hp.reg_method == 4:
-            w = w * jnp.power(1.0 - lam, k_ui)[:, None]
-        else:
-            w = _soft_threshold(w, (lam * k_ui)[:, None])
-        # dummy ref pinned to 0 (its row is always 0; keeps parity with
-        # the big-table path, which lands duplicate writes there)
-        ref_ui = jnp.where(touched, step0, ref_ui).at[-1].set(0)
-    if hp.reg_global >= 4:
-        elapsed_g = (step0 - ref_g).astype(jnp.float32)
-        kg = jnp.where(cg > 0, elapsed_g, 0.0)
-        lam_g = lr * consts.wd_g_row
-        if hp.reg_global == 4:
-            g = g * jnp.power(1.0 - lam_g, kg)
-        else:
-            g = _soft_threshold(g, lam_g * kg)
-        ref_g = jnp.where(cg > 0, step0, ref_g)
 
     # --- forward on pre-update parameters
-    st = dataclasses.replace(state, w=w, b=b, g=g)
-    pred, p_u, p_i = forward_scores(st, batch, hp)
+    pred, p_u, p_i = forward_scores(state, batch, hp)
     err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
     lr_err = lr * err  # [B]
 

@@ -40,6 +40,7 @@ from .embed import (
     TrainState,
     _apply_factor_reg,
     _can_fuse,
+    _lazy_catchup,
     _onehot,
     _scatter_rows,
     _scatter_vals,
@@ -50,42 +51,6 @@ from .embed import (
     _use_onehot,
     forward_scores,
 )
-
-
-def _lazy_catchup(state, cu, ci, cg, lr, consts, hp):
-    """Lazy-decay catch-up (reg modes 4/5) on touched rows BEFORE the
-    forward — the same math as ops/embed.train_step (regularize(pre),
-    apex_svd_base.h:457,188-310).  Feedback pool rows are never caught
-    up: the reference regularizes only the example's u/i/g feature ids
-    (update_inner :456-462), and prepare_ufeedback (:523-538) reads the
-    W rows raw.  Returns (state, w, g) with refs stamped.
-    """
-    import dataclasses
-
-    if hp.reg_method < 4 and hp.reg_global < 4:
-        return state, state.w, state.g
-    w, g = state.w, state.g
-    step0 = state.step
-    ref_ui, ref_g = state.ref_ui, state.ref_g
-    if hp.reg_method >= 4:
-        touched = (cu + ci) > 0
-        k_ui = jnp.where(touched, (step0 - ref_ui).astype(jnp.float32), 0.0)
-        lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
-        if hp.reg_method == 4:
-            w = w * jnp.power(1.0 - lam, k_ui)[:, None]
-        else:
-            w = _soft_threshold(w, (lam * k_ui)[:, None])
-        ref_ui = jnp.where(touched, step0, ref_ui).at[-1].set(0)
-    if hp.reg_global >= 4:
-        kg = jnp.where(cg > 0, (step0 - ref_g).astype(jnp.float32), 0.0)
-        lam_g = lr * consts.wd_g_row
-        if hp.reg_global == 4:
-            g = g * jnp.power(1.0 - lam_g, kg)
-        else:
-            g = _soft_threshold(g, lam_g * kg)
-        ref_g = jnp.where(cg > 0, step0, ref_g)
-    state = dataclasses.replace(state, w=w, g=g, ref_ui=ref_ui, ref_g=ref_g)
-    return state, w, g
 
 
 def _fb_aggregates(w, b, cfb, nseg: int, with_bias: bool, force_onehot=None):
@@ -172,7 +137,8 @@ def _plus_step(
     # lazy catch-up AFTER the block's aggregates (the reference computes
     # prepare_ufeedback before any of the block's regularize calls,
     # apex_svd_base.h:568-582) and before the forward
-    state, w, g = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    state = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    w, g = state.w, state.g
 
     # slot = g*M + m: expand per-user aggregates to slots
     p_u_extra = jnp.repeat(fb_sum[:G], M, axis=0) if M > 1 else fb_sum[:G]
@@ -276,7 +242,8 @@ def _row_update(
     ci = _touch_counts(n_ui, i_idx)
     cg = _touch_counts(n_g, g_idx)
 
-    state, w, g = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    state = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    w, g = state.w, state.g
     pred, p_u, p_i = forward_scores(
         state, batch, hp, p_u_extra, bias_extra, bias_plugin
     )

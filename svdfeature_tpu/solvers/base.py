@@ -403,6 +403,13 @@ class SVDFeatureTrainer:
 
             if self._mesh is not None:
                 raise NotImplementedError("streaming + mesh not wired yet")
+            if self.feat_user is not None or self.feat_item is not None:
+                # the stream's seg caps are raw per-row widths; hierarchy
+                # expansion (SparseFeatureArray) would exceed them
+                raise NotImplementedError(
+                    "streaming=1 with feature_user/feature_item side "
+                    "features is not supported; stage the dataset"
+                )
             stream_train_round(self, ds)
             return
         stacked, _ = self._pack(ds)

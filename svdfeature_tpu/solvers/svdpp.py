@@ -324,6 +324,21 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
 
         if self._mesh is not None:
             raise NotImplementedError("streaming + mesh not wired for SVD++")
+        if self.feat_user is not None or self.feat_item is not None:
+            # the pre-scan caps are raw per-row widths; hierarchy
+            # expansion (SparseFeatureArray) would exceed them
+            raise NotImplementedError(
+                "streaming=1 with feature_user/feature_item side features "
+                "is not supported; stage the dataset (streaming=0)"
+            )
+        if self.sort_blocks:
+            # sort_blocks reorders the whole dataset; a streamed chunk
+            # can only sort within itself, which both changes the
+            # trajectory and violates the file-order cap plan
+            raise ValueError(
+                "sort_blocks=1 is a whole-dataset option and is not "
+                "supported with streaming=1"
+            )
         stream_train_round_plus(self, ds)
 
     def update_all(self, ds) -> None:

@@ -206,3 +206,67 @@ def test_plus_streaming_registry_route(tmp_path):
     src = load_plus_source(0, cfg)
     assert hasattr(src, "plan_caps")
     assert src.num_block == 12
+
+
+def test_plus_streamed_big_table(tmp_path, monkeypatch):
+    """Streaming + big-table routing: capped chunk shapes through
+    train_epoch_plus_big (reserved padding chunk included) must match the
+    staged big-table run."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    ds = make_plus_ds(block_max_line=3)
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer()
+    assert staged.hp.big_table
+    for _ in range(2):
+        staged.update_all(ds)
+    streamed = make_plus_trainer()
+    assert streamed.hp.big_table
+    for _ in range(2):
+        streamed.update_all(src)
+
+    np.testing.assert_allclose(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
+    )
+    assert int(staged.state.step) == int(streamed.state.step)
+
+
+def test_streaming_ignored_for_composite_plus_types(tmp_path):
+    """Composite (filter) and rank input types materialize their inner
+    source even with streaming=1 — combinators transform whole datasets."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.csr import PlusDataset
+    from svdfeature_tpu.data.registry import IteratorConfig, load_plus_source
+
+    ds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    cfg = IteratorConfig()
+    cfg.set_param("streaming", "1")
+    cfg.set_param("buffer_feature", path)
+    cfg.set_param("filter_ufeedback", "0-5")
+    src = load_plus_source(200, cfg)  # filter wrapping BINARY_BUFFER
+    assert isinstance(src, PlusDataset)
+
+
+def test_plus_streaming_guards():
+    """sort_blocks and hierarchical side features are rejected with clear
+    errors under streaming (caps are file-order, raw-width plans)."""
+    import pytest as _pytest
+
+    class FakeStream:
+        def plan_caps(self, G, M):
+            return {}
+
+        def chunks(self):
+            return iter(())
+
+    tr = make_plus_trainer(extra={"sort_blocks": 1})
+    with _pytest.raises(ValueError, match="sort_blocks"):
+        tr.update_all(FakeStream())
