@@ -217,16 +217,40 @@ def _sharded_forward(w, b, batch, hp, lo, n_local, dummy):
     return jax.lax.psum((p_u, p_i, bias), "model")
 
 
+def _seg_sum(n, idx, val):
+    """sum of val into bins idx — one-hot MXU form on TPU (XLA scatter-add
+    serializes there; ops/embed one-hot rationale), .at[].add elsewhere."""
+    from ..ops.embed import _onehot, _use_onehot
+
+    fidx = idx.reshape(-1)
+    fval = val.reshape(-1)
+    if _use_onehot(n):
+        E = _onehot(fidx, n)
+        return jnp.einsum(
+            "en,e->n", E, fval, preferred_element_type=jnp.float32
+        )
+    return jnp.zeros((n,), jnp.float32).at[fidx].add(fval)
+
+
+def _seg_sum_stacked(nseg, idx, pay):
+    """Row-payload segment sum: pay [E, C] into [nseg, C] bins — ONE
+    one-hot MXU matmul on TPU (stacking columns shares the one-hot read,
+    the ops/embed._train_step_fused trick), segment_sum elsewhere."""
+    from ..ops.embed import _onehot, _use_onehot
+
+    if _use_onehot(nseg):
+        A = _onehot(idx, nseg)  # [E, nseg]
+        return jnp.einsum("en,ec->nc", A, pay, preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(pay, idx, num_segments=nseg)
+
+
 def _global_update_psum(g, batch, err, lr):
     """Replicated global-bias update: implicit damping with psum'd batch
     stats (matches ops/embed._update_global when the batch spans all data
     shards)."""
-    gS = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
-        (err[:, None] * batch["g_val"]).reshape(-1)
-    )
-    gC2 = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(
-        (batch["g_val"] * batch["g_val"]).reshape(-1)
-    )
+    n_g = g.shape[0]
+    gS = _seg_sum(n_g, batch["g_idx"], err[:, None] * batch["g_val"])
+    gC2 = _seg_sum(n_g, batch["g_idx"], batch["g_val"] * batch["g_val"])
     gS, gC2 = jax.lax.psum((gS, gC2), "data")
     return g + lr * gS / (1.0 + lr * gC2)
 
@@ -246,15 +270,20 @@ def _apply_row_updates(w, b, batch, lr_err, p_u, p_i, hp, lo, n_local, dummy):
     g_cu, g_ci = ag(coef_u), ag(coef_i)
     g_pu, g_pi = ag(p_u), ag(p_i)
     k = w.shape[1]
-    w = w.at[g_lu.reshape(-1)].add(
-        (g_cu[..., None] * g_pi[:, :, None, :]).reshape(-1, k)
-    )
-    w = w.at[g_li.reshape(-1)].add(
-        (g_ci[..., None] * g_pu[:, :, None, :]).reshape(-1, k)
-    )
-    b = b.at[g_li.reshape(-1)].add(g_ci.reshape(-1))
+    D, B, Su = g_lu.shape
+    Si = g_li.shape[2]
+    # one-hot MXU form for slabs under the threshold, .at[].add fallback
+    # (CPU / big slabs) — ops/embed._scatter_rows auto-selects, same as
+    # the single-device step (XLA TPU scatter-adds serialize)
+    from ..ops.embed import _scatter_rows, _scatter_vals
+
+    w = _scatter_rows(w, g_lu.reshape(D * B, Su), g_cu.reshape(D * B, Su),
+                      g_pi.reshape(D * B, k))
+    w = _scatter_rows(w, g_li.reshape(D * B, Si), g_ci.reshape(D * B, Si),
+                      g_pu.reshape(D * B, k))
+    b = _scatter_vals(b, g_li.reshape(D * B, Si), g_ci.reshape(D * B, Si))
     if not hp.no_user_bias:
-        b = b.at[g_lu.reshape(-1)].add(g_cu.reshape(-1))
+        b = _scatter_vals(b, g_lu.reshape(D * B, Su), g_cu.reshape(D * B, Su))
     return w, b
 
 
@@ -268,11 +297,9 @@ def _touch_counts_sharded(batch, lo, n_local):
         loc = idx - lo
         own = (loc >= 0) & (loc < n_local)
         locc = jnp.where(own, loc, n_local - 1)
-        out.append(
-            jnp.zeros((n_local,), jnp.float32).at[locc.reshape(-1)].add(
-                own.reshape(-1).astype(jnp.float32)
-            )
-        )
+        # weight `own` keeps redirected (non-owned) ids from counting
+        # against the last local row, which is a REAL row off-tail
+        out.append(_seg_sum(n_local, locc, own.astype(jnp.float32)))
     return jax.lax.psum((out[0], out[1]), "data")
 
 
@@ -287,7 +314,9 @@ def _decay_clamp_scrub(w, b, g, batch, cu, ci, lr, consts, hp, lo, n_local, n_pa
     from ..ops.embed import _apply_factor_reg, _soft_threshold
 
     dummy = n_local - 1
-    cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
+    cg = _seg_sum(
+        g.shape[0], batch["g_idx"], jnp.ones(batch["g_idx"].shape, jnp.float32)
+    )
     cg = jax.lax.psum(cg, "data")
     if hp.reg_method < 4:
         w = _apply_factor_reg(w, cu, ci, lr, consts, hp)
@@ -361,7 +390,10 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
                 w = _soft_threshold(w, (lam * k_ui)[:, None])
             ref_ui = jnp.where(touched, step0, ref_ui)
         if hp.reg_global >= 4:
-            cg = jnp.zeros_like(g).at[batch["g_idx"].reshape(-1)].add(1.0)
+            cg = _seg_sum(
+                g.shape[0], batch["g_idx"],
+                jnp.ones(batch["g_idx"].shape, jnp.float32),
+            )
             cg = jax.lax.psum(cg, "data")
             elapsed_g = (step0 - ref_g).astype(jnp.float32)
             kg = jnp.where(cg > 0, elapsed_g, 0.0)

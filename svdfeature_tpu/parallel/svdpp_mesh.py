@@ -25,11 +25,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import losses
 from ..ops.embed import HyperParams, TrainConsts, TrainState
+from ..ops.svdpp import _fb_writeback
 from .mesh import (
     _apply_row_updates,
     _count_present,
     _decay_clamp_scrub,
     _global_update_psum,
+    _seg_sum_stacked,
     _sharded_forward,
     _touch_counts_sharded,
 )
@@ -77,12 +79,20 @@ def _make_svdpp_body(
         own = (loc >= 0) & (loc < n_local)
         locc = jnp.where(own, loc, dummy)
         v = jnp.where(own, sv, 0.0)
-        fb_sum = jax.ops.segment_sum(w[locc] * v[:, None], sb, num_segments=nseg)
-        norm = jax.ops.segment_sum(sv * sv, sb, num_segments=nseg)  # val-only
-        fb_bias = jax.ops.segment_sum(b[locc] * v, sb, num_segments=nseg)
-        fb_sum = jax.lax.psum(jax.lax.psum(fb_sum, "model"), "data")
-        norm = jax.lax.psum(norm, "data")  # values are model-replicated
-        fb_bias = jax.lax.psum(jax.lax.psum(fb_bias, "model"), "data")
+        k = w.shape[1]
+        # stacked one-hot aggregate: [rows*v | b*v | sv^2] in ONE matmul
+        # (norm uses the RAW value — it is model-replicated)
+        agg = _seg_sum_stacked(
+            nseg,
+            sb,
+            jnp.concatenate(
+                [w[locc] * v[:, None], (b[locc] * v)[:, None], (sv * sv)[:, None]],
+                axis=1,
+            ),
+        )
+        fb_sum = jax.lax.psum(jax.lax.psum(agg[:, :k], "model"), "data")
+        norm = jax.lax.psum(agg[:, k + 1], "data")
+        fb_bias = jax.lax.psum(jax.lax.psum(agg[:, k], "model"), "data")
 
         # ---- forward (rows sharded over data)
         gbias = state.g  # replicated
@@ -105,10 +115,18 @@ def _make_svdpp_body(
         # ---- feedback writeback: replicated delta over the FULL pool,
         # masked to model-owned rows
         present = batch["weight"]
-        S = jax.ops.segment_sum(err[:, None] * p_i, slot, num_segments=nseg)
-        pres = jax.ops.segment_sum(present, slot, num_segments=nseg)
-        S = jax.lax.psum(S, "data")
-        pres = jax.lax.psum(pres, "data")
+        # stacked per-slot reduction [err*p_i | present | err], one matmul
+        red = jax.lax.psum(
+            _seg_sum_stacked(
+                nseg,
+                slot,
+                jnp.concatenate(
+                    [err[:, None] * p_i, present[:, None], err[:, None]], axis=1
+                ),
+            ),
+            "data",
+        )
+        S, pres = red[:, :k], red[:, k]
         inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
         dtmp = fb_sum * ((d - 1.0) * pres)[:, None] + lr_fb * norm[:, None] * S
         delta = dtmp * inv_norm[:, None]  # [G+1, k] replicated
@@ -116,14 +134,16 @@ def _make_svdpp_body(
         fown = (floc >= 0) & (floc < n_local)
         flocc = jnp.where(fown, floc, dummy)
         fval = jnp.where(fown, cfb["fb_val"], 0.0)
-        w = w.at[flocc].add(delta[cfb["fb_block"]] * fval[:, None])
         if with_bias:
-            Sb = jax.lax.psum(
-                jax.ops.segment_sum(err, slot, num_segments=nseg), "data"
-            )
+            Sb = red[:, k + 1]
             dtmp_b = fb_bias * ((db - 1.0) * pres) + lr_fb * norm * Sb
             delta_b = dtmp_b * inv_norm
-            b = b.at[flocc].add(delta_b[cfb["fb_block"]] * fval)
+        else:
+            delta_b = None
+        # one-hot [F, n_local] writeback (ops/svdpp._fb_writeback: w/b
+        # deltas ride one stacked matmul; .at[].add fallback off-TPU)
+        cfb_local = {"fb_idx": flocc, "fb_block": cfb["fb_block"], "fb_val": fval}
+        w, b = _fb_writeback(w, b, cfb_local, delta, delta_b, with_bias)
 
         # ---- decay / clamp / scrub (shared with the base sharded step)
         w, b, gbias = _decay_clamp_scrub(
@@ -313,14 +333,19 @@ def sharded_svdpp_predict(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: in
             own = (loc >= 0) & (loc < n_local)
             locc = jnp.where(own, loc, dummy)
             v = jnp.where(own, sv, 0.0)
-            fb_sum = jax.ops.segment_sum(w[locc] * v[:, None], sb, num_segments=nseg)
-            fb_sum = jax.lax.psum(jax.lax.psum(fb_sum, "model"), "data")
+            k = w.shape[1]
+            agg = _seg_sum_stacked(
+                nseg,
+                sb,
+                jnp.concatenate(
+                    [w[locc] * v[:, None], (b[locc] * v)[:, None]], axis=1
+                ),
+            )
+            agg = jax.lax.psum(jax.lax.psum(agg, "model"), "data")
             p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
-            p_u = p_u + fb_sum[slot]
+            p_u = p_u + agg[:, :k][slot]
             if with_bias:
-                fb_bias = jax.ops.segment_sum(b[locc] * v, sb, num_segments=nseg)
-                fb_bias = jax.lax.psum(jax.lax.psum(fb_bias, "model"), "data")
-                bias = bias + fb_bias[slot]
+                bias = bias + agg[:, k][slot]
             score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
             score = score + jnp.einsum(
                 "bs,bs->b", batch["g_val"], gbias[batch["g_idx"]]

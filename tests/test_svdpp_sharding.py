@@ -213,3 +213,43 @@ def test_svdpp_trainer_mesh_config_path():
     np.testing.assert_allclose(
         np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_svdpp_onehot_branch(monkeypatch):
+    """The TPU one-hot forms of the sharded reductions/writebacks
+    (mesh._seg_sum/_seg_sum_stacked, embed._scatter_rows/_scatter_vals,
+    svdpp._fb_writeback inside the mesh step) must match the scatter
+    branch bit-for-bit-ish — forced on CPU by patching the selector."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    state, batch, cfb, lr, fbh, consts, hp = _toy_plus()
+    mesh = make_mesh(2, 2, cpu_devices())
+    G, F = batch["label"].shape[0], cfb["fb_idx"].shape[0]
+    sstate, sbatch, scfb, sconsts, n_pad = _shard_inputs(
+        mesh, state, batch, cfb, consts, G
+    )
+    ref = jax.tree.map(jnp.copy, sstate)
+    step = sharded_svdpp_step(mesh, hp, n_pad, G, F)
+    for _ in range(3):
+        ref = step(ref, sbatch, scfb, lr, fbh, sconsts)
+
+    from svdfeature_tpu.ops import embed
+    from svdfeature_tpu.ops import svdpp as svdpp_ops
+
+    monkeypatch.setattr(embed, "_use_onehot", lambda n: True)
+    # svdpp binds the selector at import time — patch its copy too so
+    # _fb_writeback inside the mesh step takes the one-hot branch
+    monkeypatch.setattr(svdpp_ops, "_use_onehot", lambda n: True)
+    step_oh = sharded_svdpp_step(mesh, hp, n_pad, G, F)
+    st = jax.tree.map(jnp.copy, sstate)
+    for _ in range(3):
+        st = step_oh(st, sbatch, scfb, lr, fbh, sconsts)
+    np.testing.assert_allclose(
+        np.asarray(st.w), np.asarray(ref.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.b), np.asarray(ref.b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.g), np.asarray(ref.g), rtol=1e-4, atol=1e-5
+    )
