@@ -152,6 +152,18 @@ class SVDInferTask:
 
     def _labels(self) -> np.ndarray:
         ds = self.dataset
+        if hasattr(ds, "chunks"):  # streaming source: labels per chunk
+            if getattr(self, "_stream_labels", None) is None:
+                parts = [
+                    np.asarray(
+                        c.rows.labels if hasattr(c, "rows") else c.labels
+                    )
+                    for c in ds.chunks()
+                ]
+                self._stream_labels = (
+                    np.concatenate(parts) if parts else np.zeros(0, np.float32)
+                )
+            return self._stream_labels
         return ds.rows.labels if hasattr(ds, "rows") else ds.labels
 
     def task_eval(self) -> None:

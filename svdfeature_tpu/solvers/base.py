@@ -457,6 +457,21 @@ class SVDFeatureTrainer:
         self.state = train_rounds(self.state, stacked, lrs, self.consts, self.hp)
 
     def predict_all(self, ds: CSRDataset) -> np.ndarray:
+        if hasattr(ds, "chunks"):  # streaming source: bounded-memory eval
+            # (the reference's task_eval consumes the thread iterator the
+            # same way, svd_feature_infer.cpp:243-277)
+            if self._mesh is not None:
+                raise NotImplementedError("streaming + mesh not wired yet")
+            Tc = -(-min(ds.examples_per_chunk, ds.num_row) // self.batch_size)
+            st = self.state_or_model()
+            out = []
+            for chunk in ds.chunks():
+                arrays, nrow = self.pack_chunk(chunk, Tc, ds.max_nnz)
+                preds = predict_batches(st, jax.device_put(arrays), self.hp)
+                out.append(np.asarray(preds).reshape(-1)[:nrow])
+            return (
+                np.concatenate(out) if out else np.zeros(0, np.float32)
+            )
         stacked, nrow = self._pack(ds)
         if self._mesh is not None:
             # inference runs on the mesh itself — tables stay row-sharded

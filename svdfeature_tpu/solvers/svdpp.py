@@ -353,6 +353,37 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         self._train_packed(self._pack_plus(ds))
 
     def predict_all(self, ds) -> np.ndarray:
+        if hasattr(ds, "plan_caps"):  # streaming source: bounded-memory eval
+            if self._mesh is not None:
+                raise NotImplementedError("streaming + mesh not wired for SVD++")
+            caps = ds.plan_caps(self.users_per_batch, self.rows_per_user)
+            st = self.state_or_model()
+            m = self.model
+            out = []
+            for chunk in ds.chunks():
+                packed = pack_plus(
+                    chunk, self.users_per_batch, m.num_rows,
+                    m.param.num_global, m.off_user, m.off_item,
+                    m.off_ufeedback, feat_user=self.feat_user,
+                    feat_item=self.feat_item, num_user=m.param.num_user,
+                    num_item=m.param.num_item,
+                    num_ufeedback=m.param.num_ufeedback,
+                    rows_per_user=self.rows_per_user, **caps,
+                )
+                preds = np.asarray(
+                    predict_batches_plus(
+                        st,
+                        jax.device_put(packed.device_arrays()),
+                        jax.device_put(packed.chunk_id),
+                        jax.device_put(packed.fb_arrays()),
+                        self.hp,
+                        rows_per_user=self.rows_per_user,
+                    )
+                ).reshape(-1)
+                out.append(preds[packed.perm])
+            return (
+                np.concatenate(out) if out else np.zeros(0, np.float32)
+            )
         if hasattr(ds, "epoch_dataset"):
             entry = self._pack_plus(ds.epoch_dataset(), cache=False)
         elif isinstance(ds, PlusDataset):

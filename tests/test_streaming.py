@@ -270,3 +270,33 @@ def test_plus_streaming_guards():
     tr = make_plus_trainer(extra={"sort_blocks": 1})
     with _pytest.raises(ValueError, match="sort_blocks"):
         tr.update_all(FakeStream())
+
+
+def test_streamed_predict_matches_staged(tmp_path):
+    """Bounded-memory prediction over both streaming formats equals the
+    staged prediction (reference task_eval streams test sets the same
+    way, svd_feature_infer.cpp:243-277)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    # random-order format
+    ds = make_ds(rows=300)
+    path = str(tmp_path / "c.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=128)
+    tr = make_trainer()
+    tr.update_all(ds)
+    np.testing.assert_allclose(
+        tr.predict_all(ds), tr.predict_all(src), atol=1e-6
+    )
+
+    # user-group format
+    pds = make_plus_ds()
+    ppath = str(tmp_path / "cp.buffer")
+    write_plus_buffer(ppath, pds)
+    psrc = StreamingPlusBuffer(ppath, blocks_per_chunk=4)
+    ptr = make_plus_trainer()
+    ptr.update_all(pds)
+    np.testing.assert_allclose(
+        ptr.predict_all(pds), ptr.predict_all(psrc), atol=1e-6
+    )
