@@ -432,6 +432,13 @@ class SVDFeatureTrainer:
         Uses the fully-fused Pallas kernel (ops/pallas_embed.py) when the
         configuration supports it and the backend is a TPU; config key
         ``use_pallas=0`` forces the jnp path."""
+        if hasattr(ds, "chunks"):  # streaming: one host-driven pass/round
+            for _ in range(num_rounds):
+                self.update_all(ds)
+                if self.tparam.decay_learning_rate:
+                    self.learning_rate *= self.tparam.decay_rate
+                    self.round_counter += 1
+            return
         stacked, _ = self._pack(ds)
         lrs = []
         for _ in range(num_rounds):

@@ -300,3 +300,24 @@ def test_streamed_predict_matches_staged(tmp_path):
     np.testing.assert_allclose(
         ptr.predict_all(pds), ptr.predict_all(psrc), atol=1e-6
     )
+
+
+def test_update_rounds_streaming_csr(tmp_path):
+    """update_rounds on a streaming source loops host-driven passes with
+    the same lr schedule as the staged multi-round dispatch."""
+    ds = make_ds(rows=256)
+    path = str(tmp_path / "r.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=128)
+    staged = make_trainer()
+    staged.set_param("decay_learning_rate", "1")
+    staged.set_param("decay_rate", "0.9")
+    staged.update_rounds(ds, 3)
+    streamed = make_trainer()
+    streamed.set_param("decay_learning_rate", "1")
+    streamed.set_param("decay_rate", "0.9")
+    streamed.update_rounds(src, 3)
+    np.testing.assert_allclose(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
+    )
+    assert abs(staged.learning_rate - streamed.learning_rate) < 1e-12
