@@ -1,14 +1,13 @@
-"""Headline benchmark: the five reference demo workloads on the default
-device (real TPU chip under the driver).
+"""Headline benchmark: the reference demo workloads + a KDD-scale
+synthetic on the default device (real TPU chip under the driver).
 
 Primary metric: basicMF ML-100K SGD throughput (demo/basicMF, k=64,
 40 rounds), RMSE-checked against the regenerated reference golden
 (golden/GOLDEN.json).  Secondary metrics cover the remaining demos:
-implicitFeedback (SVD++, rows_per_user=8 fused-kernel path), neighborhoodModel,
-binaryClassification (each 40 rounds + RMSE parity check) and
-pairwiseRank (steady-state epoch throughput incl. per-epoch host pair
-resampling; P@20 parity is gated by the slow golden suite,
-tests/test_golden_full.py).
+implicitFeedback (SVD++, rows_per_user=8 fused-kernel path),
+neighborhoodModel, binaryClassification (each 40 rounds + RMSE parity
+check), pairwiseRank, and bigTable (synthetic KDD-Cup-scale 2M-row
+table, k=64) exercising the large-table write paths.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "examples/s", "vs_baseline": N,
@@ -17,22 +16,79 @@ Prints ONE JSON line:
 vs_baseline compares against the reference C++ binary's measured
 throughput on this machine's CPU (golden/GOLDEN.json) — the only
 hardware the reference runs on.
+
+Robustness (the remote axon TPU is exclusive and FLAKY — a wedged
+remote end hangs backend init or dispatch for the whole process
+lifetime):
+
+- This file runs as a jax-free PARENT that supervises a CHILD process
+  (``python bench.py --child <results.jsonl>``).
+- The child starts with a tiny-matmul health probe (value-fetch synced;
+  ``block_until_ready`` does not synchronize under this backend) and
+  flushes each workload's result to the results file as soon as it is
+  measured.
+- If the probe does not land within BENCH_PROBE_TIMEOUT (240 s), the
+  parent kills the child's process group, waits BENCH_QUIET_WAIT
+  (600 s — the device needs total quiet to recover; each failed probe
+  restarts its recovery clock) and retries, up to BENCH_ATTEMPTS times.
+- The parent ALWAYS prints exactly one JSON line and exits 0: on a
+  wedged device the line carries ``"tpu_unavailable": true`` plus
+  whatever sub-benches completed before the hang.
+
+Env knobs: BENCH_SMALL=1 (tiny bigTable, CI/dev), BENCH_CPU=1 (child
+deregisters the axon backend and runs CPU-only — dev testing),
+BENCH_FAKE_WEDGE=1 (child hangs in the probe — exercises the
+unavailable path), BENCH_ATTEMPTS / BENCH_PROBE_TIMEOUT /
+BENCH_QUIET_WAIT / BENCH_TIMEOUT (seconds).
 """
 
-import gzip
 import json
 import os
 import pathlib
+import signal
+import subprocess
 import sys
 import time
 
 ROOT = pathlib.Path(__file__).parent
-sys.path.insert(0, str(ROOT))
+RESULTS = ROOT / ".bench_results_last.jsonl"
 
 
-def main() -> None:
-    import jax
+# ======================================================================
+# Child: owns jax; probes the device, runs the workloads, flushes each
+# result line immediately so the parent can salvage partial runs.
+# ======================================================================
+
+def child_main(results_path: str) -> None:
+    sys.path.insert(0, str(ROOT))
+    out = open(results_path, "a")
+
+    def put(name, data):
+        out.write(json.dumps({"workload": name, "data": data}) + "\n")
+        out.flush()
+        os.fsync(out.fileno())
+
+    if os.environ.get("BENCH_FAKE_WEDGE"):
+        time.sleep(1 << 20)  # simulate a wedged backend: hang in "init"
+
+    import gzip
+
     import numpy as np
+
+    if os.environ.get("BENCH_CPU"):
+        import jax
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    # ---- health probe (tiny matmul, value-fetch synced) ----------------
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    _ = float(jnp.float32(jnp.sum(x @ x)))
+    put("_probe", {"device": str(jax.devices()[0])})
 
     from svdfeature_tpu.data.text import load_feature_text, load_plus_text
     from svdfeature_tpu.params import SVDTypeParam
@@ -64,39 +120,43 @@ def main() -> None:
         tr.init_trainer()
         return tr
 
-    workloads = {}
-
-    # ---- basicMF (primary) ------------------------------------------------
-    train_ds = load_feature_text("x", text=fx("ml100k.base.feature.gz"))
-    test_ds = load_feature_text("x", text=fx("ml100k.test.feature.gz"))
     ROUNDS = 40
-    params = BASIC + [("batch_size", "4096")]
-    tr = make(SVDFeatureTrainer, {}, params)
-    tr.update_rounds(train_ds, ROUNDS)
-    _ = int(tr.state.step)  # value fetch: block_until_ready does not
-    # reliably synchronize under the axon remote-TPU backend
-    dt = None
-    # ~2x run-to-run tunnel variance: time twice, report the better
-    for _ in range(2):
-        tr = make(SVDFeatureTrainer, {}, params)
-        tr._pack(train_ds)  # staging excluded, like the reference's
-        # buffer-creation step is excluded from its timing
-        t0 = time.time()
-        tr.update_rounds(train_ds, ROUNDS)
-        _ = int(tr.state.step)
-        d = time.time() - t0
-        dt = d if dt is None else min(dt, d)
-    eps = ROUNDS * train_ds.num_row / dt
-    got = rmse(tr.predict_all(test_ds), test_ds.labels)
-    want = golden["basicMF"]["final_rmse"]
-    workloads["basicMF"] = {
-        "examples_per_sec": round(eps),
-        "final_rmse": round(got, 5),
-        "golden_rmse": want,
-        "rmse_ok": abs(got - want) < 0.02,
-    }
 
-    # ---- neighborhoodModel / binaryClassification -------------------------
+    # ---- basicMF (primary) ---------------------------------------------
+    def bench_basic():
+        train_ds = load_feature_text("x", text=fx("ml100k.base.feature.gz"))
+        test_ds = load_feature_text("x", text=fx("ml100k.test.feature.gz"))
+        params = BASIC + [("batch_size", "4096")]
+        tr = make(SVDFeatureTrainer, {}, params)
+        tr.update_rounds(train_ds, ROUNDS)
+        _ = int(tr.state.step)  # value fetch: see module docstring
+        dt = None
+        # ~2x run-to-run tunnel variance: time twice, report the better
+        for _ in range(2):
+            tr = make(SVDFeatureTrainer, {}, params)
+            tr._pack(train_ds)  # staging excluded, like the reference's
+            # buffer-creation step is excluded from its timing
+            t0 = time.time()
+            tr.update_rounds(train_ds, ROUNDS)
+            _ = int(tr.state.step)
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
+        eps = ROUNDS * train_ds.num_row / dt
+        got = rmse(tr.predict_all(test_ds), test_ds.labels)
+        want = golden["basicMF"]["final_rmse"]
+        return {
+            "examples_per_sec": round(eps),
+            "final_rmse": round(got, 5),
+            "golden_rmse": want,
+            "rmse_ok": abs(got - want) < 0.02,
+        }
+
+    try:
+        put("basicMF", bench_basic())
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: basicMF bench failed: {e}", file=sys.stderr)
+
+    # ---- neighborhoodModel / binaryClassification ------------------------
     def run_basic_like(key, train_name, test_name, extra, mtype_kw):
         tds = load_feature_text("x", text=fx(train_name))
         eds = load_feature_text("x", text=fx(test_name))
@@ -114,12 +174,12 @@ def main() -> None:
         d = time.time() - t0
         got = rmse(t.predict_all(eds), eds.labels)
         want = golden[key]["final_rmse"]
-        workloads[key] = {
+        put(key, {
             "examples_per_sec": round(ROUNDS * tds.num_row / d),
             "final_rmse": round(got, 5),
             "golden_rmse": want,
             "rmse_ok": abs(got - want) < 0.02,
-        }
+        })
 
     try:
         run_basic_like(
@@ -140,8 +200,7 @@ def main() -> None:
         print(f"WARNING: binary bench failed: {e}", file=sys.stderr)
 
     # ---- implicitFeedback (SVD++) -----------------------------------------
-    svdpp_eps = None
-    try:
+    def bench_svdpp():
         pds = load_plus_text(
             "x", "y",
             text=fx("ml100k.base.group.feature.gz"),
@@ -170,18 +229,20 @@ def main() -> None:
             _ = int(tp.state.step)
             d = time.time() - t0
             dt = d if dt is None else min(dt, d)
-        svdpp_eps = round(ROUNDS * pds.rows.num_row / dt)
         got = rmse(tp.predict_all(eds), eds.rows.labels)
         # compare like-for-like: round-40 RMSE vs the reference's round-40
         # (the reference trajectory overfits past its best ~0.9223 back to
         # 0.9371 by round 40; best-round parity is gated by the slow suite)
         want = float(golden["implicitFeedback"]["rmse_per_round"]["40"])
-        workloads["implicitFeedback"] = {
-            "examples_per_sec": svdpp_eps,
+        return {
+            "examples_per_sec": round(ROUNDS * pds.rows.num_row / dt),
             "final_rmse": round(got, 5),
             "golden_final_rmse": want,
             "rmse_ok": abs(got - want) < 0.02,
         }
+
+    try:
+        put("implicitFeedback", bench_svdpp())
     except Exception as e:  # pragma: no cover
         print(f"WARNING: svdpp bench failed: {e}", file=sys.stderr)
 
@@ -196,8 +257,7 @@ def main() -> None:
     # ops/tile_sweep.py tile sweep, auto-selected) instead of the
     # demo-scale one-hot path.  Parity of both paths with the small-table
     # step is pinned by tests/test_big_embed.py + tests/test_tile_sweep.py.
-    big_eps = None
-    try:
+    def bench_big():
         from svdfeature_tpu.data.csr import CSRDataset
 
         NU, NI, KF = 1_000_000, 1_048_576, 64
@@ -241,7 +301,7 @@ def main() -> None:
         d = time.time() - t0
         big_eps = round(BR * EX / d)
         rmse1 = rmse(tb.predict_all(probe), probe.labels)
-        workloads["bigTable"] = {
+        res = {
             "examples_per_sec": big_eps,
             "table_rows": NU + NI,
             "write_path": "sweep" if tb.hp.sweep_table else "dedup",
@@ -249,25 +309,137 @@ def main() -> None:
             "rmse_after": round(rmse1, 5),
             "learning_ok": rmse1 < rmse0,
         }
+        # reference C++ binary on the same synthetic, this host's CPU
+        # (golden/GOLDEN.json, regenerated by golden/provenance_run_golden.sh)
+        base = golden.get("bigTable", {}).get("examples_per_sec_cpu")
+        if base and not os.environ.get("BENCH_SMALL"):
+            res["examples_per_sec_cpu_reference"] = base
+            res["vs_baseline"] = round(big_eps / base, 2)
+        return res
+
+    try:
+        put("bigTable", bench_big())
     except Exception as e:  # pragma: no cover
         print(f"WARNING: bigTable bench failed: {e}", file=sys.stderr)
 
+    out.close()
+
+
+# ======================================================================
+# Parent: jax-free supervisor.  Always prints one JSON line, exits 0.
+# ======================================================================
+
+def _read_results():
+    rows = {}
+    if RESULTS.exists():
+        for line in RESULTS.read_text().splitlines():
+            try:
+                d = json.loads(line)
+                rows[d["workload"]] = d["data"]
+            except Exception:
+                continue  # torn final write from a killed child
+    return rows
+
+
+def _kill_group(child):
+    try:
+        os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    except Exception:
+        try:
+            child.kill()
+        except Exception:
+            pass
+    try:
+        child.wait(timeout=30)
+    except Exception:
+        pass
+
+
+def parent_main() -> None:
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT", "600"))
+    bench_timeout = float(os.environ.get("BENCH_TIMEOUT", "2400"))
+
+    if RESULTS.exists():
+        RESULTS.unlink()
+
+    probe_ok = False
+    incomplete = False
+    for attempt in range(attempts):
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", str(RESULTS)],
+            start_new_session=True,
+        )
+        t0 = time.time()
+        while time.time() - t0 < probe_timeout:
+            if "_probe" in _read_results():
+                probe_ok = True
+                break
+            if child.poll() is not None:
+                break
+            time.sleep(2)
+        if probe_ok:
+            t1 = time.time()
+            while child.poll() is None and time.time() - t1 < bench_timeout:
+                time.sleep(5)
+            if child.poll() is None:
+                print("WARNING: bench child hung mid-run; killing, keeping "
+                      "partial results", file=sys.stderr)
+                _kill_group(child)
+                incomplete = True
+            elif child.returncode != 0:
+                incomplete = True
+            break
+        # probe never landed (wedged backend) or child crashed pre-probe
+        _kill_group(child)
+        crashed = child.returncode not in (None, -signal.SIGKILL)
+        print(f"WARNING: probe attempt {attempt + 1}/{attempts} failed "
+              f"({'crash' if crashed else 'hang'})", file=sys.stderr)
+        if attempt < attempts - 1:
+            # the device needs TOTAL quiet to recover; each failed probe
+            # restarts its recovery clock, so wait before the next one
+            print(f"WARNING: waiting {quiet_wait:.0f}s of quiet before "
+                  "retrying", file=sys.stderr)
+            time.sleep(quiet_wait)
+
+    rows = _read_results()
+    device = rows.pop("_probe", {}).get("device")
+    workloads = rows
+
+    golden = json.load(open(ROOT / "golden" / "GOLDEN.json"))
     base_eps = golden["basicMF"]["examples_per_sec_cpu"]
+    basic = workloads.get("basicMF")
+    big = workloads.get("bigTable", {})
     out = {
         "metric": "examples_per_sec_basicMF_40rounds",
-        "value": workloads["basicMF"]["examples_per_sec"],
+        "value": basic["examples_per_sec"] if basic else 0,
         "unit": "examples/s",
-        "vs_baseline": round(workloads["basicMF"]["examples_per_sec"] / base_eps, 2),
-        "final_rmse": workloads["basicMF"]["final_rmse"],
-        "golden_rmse": workloads["basicMF"]["golden_rmse"],
-        "rmse_ok": workloads["basicMF"]["rmse_ok"],
-        "svdpp_examples_per_sec": svdpp_eps,
-        "bigtable_examples_per_sec": big_eps,
-        "device": str(jax.devices()[0]),
+        "vs_baseline": round(basic["examples_per_sec"] / base_eps, 2) if basic else 0,
+        "tpu_unavailable": not probe_ok,
+        "device": device,
         "workloads": workloads,
     }
+    if basic:
+        out.update(
+            final_rmse=basic["final_rmse"],
+            golden_rmse=basic["golden_rmse"],
+            rmse_ok=basic["rmse_ok"],
+        )
+    if "implicitFeedback" in workloads:
+        out["svdpp_examples_per_sec"] = workloads["implicitFeedback"][
+            "examples_per_sec"]
+    if big:
+        out["bigtable_examples_per_sec"] = big.get("examples_per_sec")
+        if "vs_baseline" in big:
+            out["bigtable_vs_baseline"] = big["vs_baseline"]
+    if incomplete:
+        out["bench_incomplete"] = True
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child_main(sys.argv[2])
+    else:
+        parent_main()

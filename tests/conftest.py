@@ -1,26 +1,39 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Sharding logic is validated on CPU (SURVEY.md §4).  Note: under the axon
-TPU tunnel, JAX_PLATFORMS=cpu is not honored, so we also pin the default
-device to cpu:0 after import — otherwise every eager op round-trips to the
-remote TPU chip.
+Sharding logic is validated on CPU (SURVEY.md §4).  The suite must NEVER
+initialize the remote axon TPU backend: the device is exclusive and
+flaky, and a wedged remote end hangs even backend *init* for the
+process's whole lifetime — with the plugin active, the entire suite dies
+at collection.  The plugin is registered by /root/.axon_site's
+sitecustomize.py at interpreter start (before this file runs) and its
+backend factory ignores JAX_PLATFORMS — even ``jax.devices("cpu")``
+initializes it.  The only reliable in-process cure is to DEREGISTER the
+factory before the first backend init, which is what we do below.
+
+(Equivalent out-of-process recipe, for ad-hoc CPU runs outside pytest:
+strip `.axon_site` from PYTHONPATH, e.g.
+``PYTHONPATH=/root/repo python -m pytest tests/ -q``.)
 """
 
 import os
 
-# force (not setdefault): the machine env exports JAX_PLATFORMS=axon
+# Env vars first: these take effect when jax has NOT been imported yet
+# (e.g. when .axon_site is absent from PYTHONPATH).
 os.environ["JAX_NUM_CPU_DEVICES"] = "8"
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax
 
-if any(d.platform != "cpu" for d in jax.devices()):
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# Under the axon image jax was already imported by sitecustomize, so the
+# env vars above were latched too late — set the config values directly
+# and drop the axon backend factory before any backend initializes.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+assert all(d.platform == "cpu" for d in jax.devices())
 
 import gzip
 import pathlib
