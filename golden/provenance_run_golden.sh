@@ -109,3 +109,16 @@ python eval.py pred.txt > $OUT/pairwiseRank.p20.txt
 cp pred.txt $OUT/pairwiseRank.pred.txt
 cd ..
 echo ALL GOLDEN DONE
+
+### bigTable (synthetic KDD-Cup scale; reference-CPU throughput baseline)
+# Generates the exact bench.py bigTable synthetic (numpy default_rng(7)),
+# builds a binary buffer, and times the reference at steady state:
+#   per-round sec = (T(num_round=5) - T(num_round=1)) / 4   on tmpfs.
+# Recorded in GOLDEN.json["bigTable"]; see that entry for the 2026-08-18
+# measurement (6.357 s/round incl. ~0.21 s model save -> 341k ex/s
+# training-only on this host's CPU).
+# mkdir -p /dev/shm/bigbase && cd /dev/shm/bigbase
+# python3 -c "<write big.feature: label\t0\t1\t1\tu:1 i:1 from rng(7)>"
+# $TOOLS/make_feature_buffer big.feature big.buffer -batch_size 1000
+# time $BIN/svd_feature big.conf num_round=1 silent=1
+# time $BIN/svd_feature big.conf num_round=5 silent=1
