@@ -80,6 +80,12 @@ class SVDFeatureTrainer:
         # 1x1 = single-device fused path
         self.mesh_data = 1
         self.mesh_model = 1
+        # mesh_big: sorted-dedup big-slab mesh path (parallel/mesh_big.py).
+        # -1 = auto (on when a shard's slab exceeds ONEHOT_THRESHOLD rows
+        # on an accelerator), 0 = off, 1 = force on
+        self.mesh_big = -1
+        self._mesh_big = False
+        self._n_real: Optional[int] = None
         self._mesh = None
         self._n_pad: Optional[int] = None
         self._tbl_rows: Optional[int] = None  # unpadded table rows incl. dummy
@@ -102,6 +108,8 @@ class SVDFeatureTrainer:
             self.mesh_data = int(val)
         if name == "mesh_model":
             self.mesh_model = int(val)
+        if name == "mesh_big":
+            self.mesh_big = int(val)
         if name == "seed":
             self.seed = int(val)
         if name == "exact_rng":
@@ -134,7 +142,13 @@ class SVDFeatureTrainer:
 
     def _std_state(self) -> TrainState:
         """State in the standard (w,b,ref) layout regardless of the
-        big-table augmented packing."""
+        big-table augmented packing (single-device or mesh big slabs)."""
+        if self._mesh_big:
+            from ..parallel.mesh_big import unshard_state_big
+
+            return unshard_state_big(
+                self.state, self.mesh_model, self.hp.num_factor, self._tbl_rows
+            )
         if self.hp is not None and self.hp.big_table:
             from ..ops.big_embed import deaugment_state
 
@@ -232,6 +246,38 @@ class SVDFeatureTrainer:
             self.batch_size += self.mesh_data - self.batch_size % self.mesh_data
         self._tbl_rows = int(self.state.w.shape[0])
         self._mesh = make_mesh(self.mesh_data, self.mesh_model, devs)
+        # big slabs: above ONEHOT_THRESHOLD local rows the one-hot update
+        # would fall back to XLA's serialized TPU scatter — route to the
+        # sorted-dedup big-slab path instead (parallel/mesh_big.py)
+        from ..ops.embed import ONEHOT_THRESHOLD
+
+        d0 = self._mesh.devices.flat[0]
+        on_accel = getattr(d0, "platform", "") != "cpu"
+        slab = -(-self._tbl_rows // self.mesh_model)
+        use_big = self.SUPPORTS_BIG_TABLE and (
+            self.mesh_big == 1
+            or (self.mesh_big == -1 and slab > ONEHOT_THRESHOLD and on_accel)
+        )
+        if use_big:
+            from ..parallel.mesh_big import (
+                shard_consts_big,
+                shard_state_big,
+                sharded_train_rounds_big,
+            )
+
+            k = self.model.num_factor
+            is_tpu = getattr(d0, "platform", "") == "tpu" or "TPU" in str(d0)
+            self.hp = dataclasses.replace(
+                self.hp, num_factor=k, row_dma=is_tpu,
+                big_table=False, sweep_table=False,
+            )
+            self._mesh_big = True
+            self.state, self._n_real = shard_state_big(self.state, self._mesh, k)
+            self.consts = shard_consts_big(self.consts, self._mesh, self._n_real)
+            self._sharded_rounds = sharded_train_rounds_big(
+                self._mesh, self.hp, self._n_real
+            )
+            return
         self.state, self._n_pad = shard_state(self.state, self._mesh)
         self.consts = shard_consts(self.consts, self._mesh, self._n_pad)
         self._sharded_rounds = sharded_train_rounds(self._mesh, self.hp, self._n_pad)
@@ -485,11 +531,18 @@ class SVDFeatureTrainer:
             # (parallel/mesh.sharded_predict); single-process only fetches
             # the [T, B] prediction matrix, never the table
             if self._sharded_pred is None:
-                from ..parallel.mesh import sharded_predict
+                if self._mesh_big:
+                    from ..parallel.mesh_big import sharded_predict_big
 
-                self._sharded_pred = sharded_predict(
-                    self._mesh, self.hp, self._n_pad
-                )
+                    self._sharded_pred = sharded_predict_big(
+                        self._mesh, self.hp, self._n_real
+                    )
+                else:
+                    from ..parallel.mesh import sharded_predict
+
+                    self._sharded_pred = sharded_predict(
+                        self._mesh, self.hp, self._n_pad
+                    )
             preds = self._sharded_pred(self.state, stacked)
             if jax.process_count() > 1:
                 from jax.experimental.multihost_utils import process_allgather
@@ -502,7 +555,7 @@ class SVDFeatureTrainer:
     def state_or_model(self) -> TrainState:
         if self.state is None:
             self.init_trainer()
-        if self.hp is not None and self.hp.big_table:
+        if self._mesh_big or (self.hp is not None and self.hp.big_table):
             return self._std_state()
         if self._mesh is not None:
             # inference uses the single-device layout: drop mesh padding rows
