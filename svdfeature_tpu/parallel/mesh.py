@@ -348,6 +348,41 @@ def _count_present(batch):
     )
 
 
+def _lazy_catchup_sharded(w, g, ref_ui, ref_g, batch, cu, ci, step0, lr, consts, hp):
+    """Lazy-decay catch-up (reg modes >= 4) on the local slab + replicated
+    globals — rows are fully local under row sharding, so this is the
+    sharded form of ops/embed._lazy_catchup (apex_svd_base.h:188-310
+    catch-up factors applied per touched index).  Shared by the base and
+    SVD++ sharded step bodies."""
+    from ..ops.embed import _soft_threshold
+
+    if hp.reg_method >= 4:
+        elapsed = (step0 - ref_ui).astype(jnp.float32)
+        touched = (cu + ci) > 0
+        k_ui = jnp.where(touched, elapsed, 0.0)
+        lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
+        if hp.reg_method == 4:
+            w = w * jnp.power(1.0 - lam, k_ui)[:, None]
+        else:
+            w = _soft_threshold(w, (lam * k_ui)[:, None])
+        ref_ui = jnp.where(touched, step0, ref_ui)
+    if hp.reg_global >= 4:
+        cg = _seg_sum(
+            g.shape[0], batch["g_idx"],
+            jnp.ones(batch["g_idx"].shape, jnp.float32),
+        )
+        cg = jax.lax.psum(cg, "data")
+        elapsed_g = (step0 - ref_g).astype(jnp.float32)
+        kg = jnp.where(cg > 0, elapsed_g, 0.0)
+        lam_g = lr * consts.wd_g_row
+        if hp.reg_global == 4:
+            g = g * jnp.power(1.0 - lam_g, kg)
+        else:
+            g = _soft_threshold(g, lam_g * kg)
+        ref_g = jnp.where(cg > 0, step0, ref_g)
+    return w, g, ref_ui, ref_g
+
+
 def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
     """The raw per-shard step body (state, batch, lr, consts) -> state.
 
@@ -367,8 +402,6 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
     n_local = n_pad // n_model
 
     def step(state: TrainState, batch, lr, consts: TrainConsts):
-        from ..ops.embed import _soft_threshold
-
         # local shards
         w, b, g = state.w, state.b, state.g  # w:[n_local,k] b:[n_local]
         lo = jax.lax.axis_index("model") * n_local
@@ -379,30 +412,9 @@ def _make_step_body(hp: HyperParams, n_pad: int, n_model: int):
 
         # ---- lazy-decay catch-up (reg >= 4) BEFORE the gradient, on the
         # local slab (rows are fully local; mirrors ops/embed.train_step)
-        if hp.reg_method >= 4:
-            elapsed = (step0 - ref_ui).astype(jnp.float32)
-            touched = (cu + ci) > 0
-            k_ui = jnp.where(touched, elapsed, 0.0)
-            lam = lr * jnp.where(cu > 0, consts.wd_u_row, consts.wd_i_row)
-            if hp.reg_method == 4:
-                w = w * jnp.power(1.0 - lam, k_ui)[:, None]
-            else:
-                w = _soft_threshold(w, (lam * k_ui)[:, None])
-            ref_ui = jnp.where(touched, step0, ref_ui)
-        if hp.reg_global >= 4:
-            cg = _seg_sum(
-                g.shape[0], batch["g_idx"],
-                jnp.ones(batch["g_idx"].shape, jnp.float32),
-            )
-            cg = jax.lax.psum(cg, "data")
-            elapsed_g = (step0 - ref_g).astype(jnp.float32)
-            kg = jnp.where(cg > 0, elapsed_g, 0.0)
-            lam_g = lr * consts.wd_g_row
-            if hp.reg_global == 4:
-                g = g * jnp.power(1.0 - lam_g, kg)
-            else:
-                g = _soft_threshold(g, lam_g * kg)
-            ref_g = jnp.where(cg > 0, step0, ref_g)
+        w, g, ref_ui, ref_g = _lazy_catchup_sharded(
+            w, g, ref_ui, ref_g, batch, cu, ci, step0, lr, consts, hp
+        )
 
         # ---- forward: masked local gathers, psum over model
         p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)

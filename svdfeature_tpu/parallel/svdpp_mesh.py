@@ -31,6 +31,7 @@ from .mesh import (
     _count_present,
     _decay_clamp_scrub,
     _global_update_psum,
+    _lazy_catchup_sharded,
     _seg_sum_stacked,
     _sharded_forward,
     _touch_counts_sharded,
@@ -38,21 +39,25 @@ from .mesh import (
 
 
 def _make_svdpp_body(
-    hp: HyperParams, n_pad: int, n_model: int, n_data: int, G: int, F: int
+    hp: HyperParams, n_pad: int, n_model: int, n_data: int, G: int, F: int,
+    M: int = 1,
 ):
-    """Per-shard one-row-per-user SVD++ step body.
+    """Per-shard M-rows-per-user SVD++ step body.
 
-    Batch: row arrays [G] sharded over data (local block = this shard's
-    contiguous user slots); cfb pool arrays [F] replicated — each data
-    shard reduces its F/n_data slice for the aggregates and applies the
-    full-pool writeback identically.
+    Batch: row arrays [G*M] sharded over data (local block = this shard's
+    contiguous user slots, M consecutive slots per user — a user's rows
+    never straddle a data shard since G % n_data == 0); cfb pool arrays
+    [F] replicated — each data shard reduces its F/n_data slice for the
+    aggregates and applies the full-pool writeback identically.
+
+    All 6 regularization modes are supported: eager 0-3 on the local
+    slabs, lazy 4/5 via the sharded ref counters (the base mesh already
+    shards them; catch-up runs AFTER the block aggregates, the reference
+    order — prepare_ufeedback precedes the block's regularize calls,
+    apex_svd_base.h:568-582).  M>1 uses the same implicitly-damped
+    M-wide Jacobi feedback step as ops/svdpp._plus_step.
     """
     n_local = n_pad // n_model
-    if hp.reg_method >= 4 or hp.reg_global >= 4:
-        raise NotImplementedError(
-            "sharded svdpp supports eager reg modes 0-3 (parity with the "
-            "single-device SVD++ path)"
-        )
     assert G % n_data == 0, "users_per_batch padded to a multiple of data axis"
     assert F % n_data == 0, "feedback pool padded to a multiple of the data axis"
     g_local = G // n_data
@@ -67,8 +72,8 @@ def _make_svdpp_body(
         dummy = n_local - 1
         with_bias = not hp.no_user_bias
         nseg = G + 1
-        # global user slot of each local row
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        # global user slot of each local row (M consecutive rows per user)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         # ---- SP: feedback aggregates from this data-shard's pool slice,
         # gathered over the local model slab, reduced over both axes
@@ -94,8 +99,16 @@ def _make_svdpp_body(
         norm = jax.lax.psum(agg[:, k + 1], "data")
         fb_bias = jax.lax.psum(jax.lax.psum(agg[:, k], "model"), "data")
 
+        # ---- lazy catch-up AFTER the block aggregates (reference order),
+        # before the forward; ref counters stay sharded with the rows
+        step0 = state.step
+        ref_ui, ref_g = state.ref_ui, state.ref_g
+        cu, ci = _touch_counts_sharded(batch, lo, n_local)
+        w, gbias, ref_ui, ref_g = _lazy_catchup_sharded(
+            w, state.g, ref_ui, ref_g, batch, cu, ci, step0, lr, consts, hp
+        )
+
         # ---- forward (rows sharded over data)
-        gbias = state.g  # replicated
         p_u, p_i, bias = _sharded_forward(w, b, batch, hp, lo, n_local, dummy)
         p_u = p_u + fb_sum[slot]
         if with_bias:
@@ -106,37 +119,53 @@ def _make_svdpp_body(
         err = losses.cal_grad(batch["label"], pred, hp.active_type) * batch["weight"]
 
         # ---- all-gathered sparse updates + damped global update
-        cu, ci = _touch_counts_sharded(batch, lo, n_local)
         w, b = _apply_row_updates(
             w, b, batch, lr * err, p_u, p_i, hp, lo, n_local, dummy
         )
         gbias = _global_update_psum(gbias, batch, err, lr)
 
         # ---- feedback writeback: replicated delta over the FULL pool,
-        # masked to model-owned rows
+        # masked to model-owned rows.  Per-user reduction
+        # [err*p_i | present | err | p_i.p_i] in one matmul; a user's M
+        # rows all live on one data shard, so the psum just merges shards
         present = batch["weight"]
-        # stacked per-slot reduction [err*p_i | present | err], one matmul
         red = jax.lax.psum(
             _seg_sum_stacked(
                 nseg,
                 slot,
                 jnp.concatenate(
-                    [err[:, None] * p_i, present[:, None], err[:, None]], axis=1
+                    [
+                        err[:, None] * p_i,
+                        present[:, None],
+                        err[:, None],
+                        jnp.sum(p_i * p_i, axis=1, keepdims=True),
+                    ],
+                    axis=1,
                 ),
             ),
             "data",
         )
-        S, pres = red[:, :k], red[:, k]
+        errpi, m_g, err_g = red[:, :k], red[:, k], red[:, k + 1]
+        if M > 1:
+            # implicitly-damped M-wide Jacobi feedback step — the exact
+            # math of ops/svdpp._plus_step (measured stability analysis
+            # in PERF.md "Multirow stability")
+            pip2 = red[:, k + 2]
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
-        dtmp = fb_sum * ((d - 1.0) * pres)[:, None] + lr_fb * norm[:, None] * S
+        dtmp = (
+            fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
+            + lr_fb * norm[:, None] * errpi
+        )
         delta = dtmp * inv_norm[:, None]  # [G+1, k] replicated
         floc = cfb["fb_idx"] - lo
         fown = (floc >= 0) & (floc < n_local)
         flocc = jnp.where(fown, floc, dummy)
         fval = jnp.where(fown, cfb["fb_val"], 0.0)
         if with_bias:
-            Sb = red[:, k + 1]
-            dtmp_b = fb_bias * ((db - 1.0) * pres) + lr_fb * norm * Sb
+            dtmp_b = fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
             delta_b = dtmp_b * inv_norm
         else:
             delta_b = None
@@ -150,9 +179,9 @@ def _make_svdpp_body(
             w, b, gbias, batch, cu, ci, lr, consts, hp, lo, n_local, n_pad
         )
 
-        nstep = state.step + _count_present(batch)
+        nstep = step0 + _count_present(batch)
         return TrainState(
-            w=w, b=b, g=gbias, step=nstep, ref_ui=state.ref_ui, ref_g=state.ref_g
+            w=w, b=b, g=gbias, step=nstep, ref_ui=ref_ui, ref_g=ref_g
         )
 
     return step
@@ -175,12 +204,14 @@ def _specs():
     return state_spec, batch_spec, cfb_spec, consts_spec
 
 
-def sharded_svdpp_step(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
+def sharded_svdpp_step(
+    mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int, M: int = 1
+):
     """Per-batch jitted step: (state, batch, cfb, lr, fb_hyper, consts)."""
     from jax import shard_map
 
     step = _make_svdpp_body(
-        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F
+        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F, M
     )
     state_spec, batch_spec, cfb_spec, consts_spec = _specs()
     fn = shard_map(
@@ -202,18 +233,20 @@ def sharded_svdpp_rounds(
     scale_lr_ufeedback: float = 1.0,
     wd_ufeedback: float = 0.0,
     wd_ufeedback_bias: float = 0.0,
+    M: int = 1,
 ):
     """Whole multi-round SVD++ run in ONE dispatch on the mesh.
 
     Signature: (state, stacked, chunk_id, fb, lrs, consts) -> state.
-    ``stacked``: [T, G, ...] batches (G sharded over data); ``fb``: [C, F]
-    replicated chunk pools; ``chunk_id``: [T].  Per-round lr decay is
-    applied on device (multi-chip analogue of ops/svdpp.train_epoch_plus).
+    ``stacked``: [T, G*M, ...] batches (user slots sharded over data);
+    ``fb``: [C, F] replicated chunk pools; ``chunk_id``: [T].  Per-round
+    lr decay is applied on device (multi-chip analogue of
+    ops/svdpp.train_epoch_plus).
     """
     from jax import shard_map
 
     step = _make_svdpp_body(
-        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F
+        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F, M
     )
     state_spec, batch_spec, cfb_spec, consts_spec = _specs()
 
@@ -252,13 +285,17 @@ def sharded_svdpp_rounds(
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def pad_plus_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int, num_global: int):
-    """Pad packed plus batches so G and F divide the data axis.
+def pad_plus_for_mesh(
+    arrays, fb, G: int, n_data: int, dummy_row: int, num_global: int,
+    M: int = 1,
+):
+    """Pad packed plus batches so G (users) and F divide the data axis.
 
-    ``arrays``: dict of [T, G, ...] host arrays; ``fb``: dict of [C, F]
-    pools.  Padded user slots are absent rows (weight 0, per-segment dummy
-    ids, value 0); pool padding entries carry value 0 and block slot G'
-    (the always-empty segment).  Returns (arrays, fb, G', F').
+    ``arrays``: dict of [T, G*M, ...] host arrays (M consecutive slots
+    per user); ``fb``: dict of [C, F] pools.  Padded user slots are
+    absent rows (weight 0, per-segment dummy ids, value 0); pool padding
+    entries carry value 0 and block slot G' (the always-empty segment).
+    Returns (arrays, fb, G', F').
     """
     T = arrays["label"].shape[0]
     Gp = -(-G // n_data) * n_data
@@ -270,7 +307,7 @@ def pad_plus_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int, num_globa
                 fill = num_global
             elif k.endswith("_idx"):
                 fill = dummy_row
-            pad = np.full((T, Gp - G) + v.shape[2:], fill, v.dtype)
+            pad = np.full((T, (Gp - G) * M) + v.shape[2:], fill, v.dtype)
             out[k] = np.concatenate([v, pad], axis=1)
         arrays = out
     F = fb["fb_idx"].shape[1]
@@ -295,12 +332,14 @@ def pad_plus_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int, num_globa
     return arrays, fb, Gp, Fp
 
 
-def sharded_svdpp_predict(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int):
+def sharded_svdpp_predict(
+    mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: int, M: int = 1
+):
     """SVD++ inference ON the mesh — tables stay row-sharded.
 
     The forward half of ``_make_svdpp_body`` (feedback aggregates reduced
     over data+model, masked local gathers + psum) without any updates;
-    predictions come back [T, G] sharded over ``data``.  Counterpart of
+    predictions come back [T, G*M] sharded over ``data``.  Counterpart of
     ops/svdpp.predict_batches_plus (SVDPPFeature::predict(vector, block),
     apex_svd_base.h:583-591) for the copy-free sharded eval path.
     """
@@ -321,7 +360,7 @@ def sharded_svdpp_predict(mesh: Mesh, hp: HyperParams, n_pad: int, G: int, F: in
         dummy = n_local - 1
         with_bias = not hp.no_user_bias
         nseg = G + 1
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         def body(_, xs):
             batch, cid = xs

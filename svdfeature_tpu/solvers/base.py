@@ -39,6 +39,10 @@ class SVDFeatureTrainer:
     # (ops/big_embed.py); derived solvers whose epoch kernels drive the
     # state directly (SVD++ family) opt out until wired
     SUPPORTS_BIG_TABLE = True
+    # big-slab MESH path (parallel/mesh_big.py): augmented sharded slabs +
+    # per-shard dedup writes.  Solvers with their own mesh step bodies
+    # (SVD++ family) keep the standard slab layout until wired
+    SUPPORTS_MESH_BIG = True
 
     def __init__(self, mtype: SVDTypeParam):
         self.mtype = mtype
@@ -254,7 +258,7 @@ class SVDFeatureTrainer:
         d0 = self._mesh.devices.flat[0]
         on_accel = getattr(d0, "platform", "") != "cpu"
         slab = -(-self._tbl_rows // self.mesh_model)
-        use_big = self.SUPPORTS_BIG_TABLE and (
+        use_big = self.SUPPORTS_MESH_BIG and (
             self.mesh_big == 1
             or (self.mesh_big == -1 and slab > ONEHOT_THRESHOLD and on_accel)
         )

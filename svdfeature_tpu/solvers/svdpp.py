@@ -27,6 +27,9 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     # (ops/svdpp_big.py); requires a disjoint feedback space — with
     # common_feedback_space=1 the small-table layout is kept (_build_hp)
     SUPPORTS_BIG_TABLE = True
+    # the SVD++ mesh body drives standard slabs (parallel/svdpp_mesh.py);
+    # the augmented big-slab layout is not wired for it
+    SUPPORTS_MESH_BIG = False
 
     def __init__(self, mtype):
         super().__init__(mtype)
@@ -71,13 +74,6 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             hp = dataclasses.replace(hp, sweep_table=False)
         return hp
 
-    def _check_mesh_supported(self) -> None:
-        if self.hp.reg_method >= 4 or self.hp.reg_global >= 4:
-            raise NotImplementedError(
-                "multi-chip SVD++ supports eager reg modes 0-3; unset "
-                "mesh_data/mesh_model for lazy reg"
-            )
-
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         key = id(ds)
         if not cache or key not in self._pack_cache:
@@ -98,10 +94,6 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 sort_blocks=bool(self.sort_blocks),
                 rows_per_user=self.rows_per_user,
             )
-            if self._mesh is not None and packed.rows_per_user > 1:
-                raise NotImplementedError(
-                    "rows_per_user > 1 is not wired on the mesh path"
-                )
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -109,6 +101,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
 
                 host_arrays = packed.device_arrays()
                 host_arrays.pop("chunk_id", None)  # passed separately
+                M = packed.rows_per_user
                 arrays, fbd, Gp, _ = pad_plus_for_mesh(
                     host_arrays,
                     packed.fb_arrays(),
@@ -116,18 +109,19 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     self.mesh_data,
                     m.num_rows,
                     m.param.num_global,
+                    M=M,
                 )
                 sh = lambda v: NamedSharding(
                     self._mesh, P(None, "data") if v.ndim == 2 else P(None, "data", None)
                 )
                 rep = NamedSharding(self._mesh, P())
+                # remap dataset-row -> packed-slot for the padded G
+                GS = packed.num_blocks_local * M
                 entry = (
                     {k: jax.device_put(v, sh(v)) for k, v in arrays.items()},
                     jax.device_put(packed.chunk_id, rep),
                     {k: jax.device_put(v, rep) for k, v in fbd.items()},
-                    # remap dataset-row -> packed-slot for the padded G
-                    (packed.perm // packed.num_blocks_local) * Gp
-                    + packed.perm % packed.num_blocks_local,
+                    (packed.perm // GS) * (Gp * M) + packed.perm % GS,
                     None,  # overlap unused on the mesh path
                 )
             else:
@@ -222,9 +216,10 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             )
             return
         if self._mesh is not None:
-            G = stacked["label"].shape[1]
+            M = self.rows_per_user
+            G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = (G, F)
+            key = (G, F, M)
             if key not in self._plus_sharded:
                 from ..parallel.svdpp_mesh import sharded_svdpp_rounds
 
@@ -237,6 +232,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     self.tparam.scale_lr_ufeedback,
                     self.tparam.wd_ufeedback,
                     self.tparam.wd_ufeedback_bias,
+                    M=M,
                 )
             self.state = self._plus_sharded[key](
                 self.state,
@@ -394,14 +390,15 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         if self._mesh is not None:
             # inference runs on the mesh itself — tables stay row-sharded
             # (parallel/svdpp_mesh.sharded_svdpp_predict)
-            G = stacked["label"].shape[1]
+            M = self.rows_per_user
+            G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = ("pred", G, F)
+            key = ("pred", G, F, M)
             if key not in self._plus_sharded:
                 from ..parallel.svdpp_mesh import sharded_svdpp_predict
 
                 self._plus_sharded[key] = sharded_svdpp_predict(
-                    self._mesh, self.hp, self._n_pad, G, F
+                    self._mesh, self.hp, self._n_pad, G, F, M=M
                 )
             preds = self._plus_sharded[key](self.state, stacked, chunk_id, fb)
             if jax.process_count() > 1:

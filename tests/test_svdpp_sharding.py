@@ -215,6 +215,163 @@ def test_svdpp_trainer_mesh_config_path():
     )
 
 
+@pytest.mark.parametrize("reg_method,reg_global", [(4, 0), (5, 0), (4, 4), (5, 5)])
+def test_sharded_svdpp_lazy_reg_trajectory(reg_method, reg_global):
+    """Lazy reg 4/5 on the SVD++ mesh: sharded ref counters must drive the
+    same catch-up as the single-device _plus_step (reference lazy modes,
+    apex_svd_base.h:188-310, applied in block order :568-582)."""
+    import dataclasses
+
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    state, batch, cfb, lr, fbh, consts, hp = _toy_plus()
+    hp = dataclasses.replace(hp, reg_method=reg_method, reg_global=reg_global)
+    ref = jax.tree.map(jnp.copy, state)
+    for _ in range(5):
+        ref = _plus_step(ref, batch, cfb, lr, consts, hp, fbh)
+    mesh = make_mesh(2, 2, cpu_devices())
+    G, F = batch["label"].shape[0], cfb["fb_idx"].shape[0]
+    sstate, sbatch, scfb, sconsts, n_pad = _shard_inputs(
+        mesh, state, batch, cfb, consts, G
+    )
+    step = sharded_svdpp_step(mesh, hp, n_pad, G, F)
+    for _ in range(5):
+        sstate = step(sstate, sbatch, scfb, lr, fbh, sconsts)
+    n = ref.w.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(sstate.w)[:n], np.asarray(ref.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sstate.b)[:n], np.asarray(ref.b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sstate.g), np.asarray(ref.g), rtol=1e-4, atol=1e-5
+    )
+    # dummy-row ref excluded: the sharded stamp there is value-inert
+    # (w[dummy] is scrubbed every step and the ref is never checkpointed;
+    # single-device _lazy_catchup pins it to 0 for big-path parity)
+    np.testing.assert_array_equal(
+        np.asarray(sstate.ref_ui)[: n - 1], np.asarray(ref.ref_ui)[: n - 1]
+    )
+    np.testing.assert_array_equal(np.asarray(sstate.ref_g), np.asarray(ref.ref_g))
+
+
+def _widen_multirow(batch, G, M, n, n_g, seed=1):
+    """[G] one-row batch -> [G*M] M-rows-per-user batch (slot = g*M + m),
+    with ragged users (some m-slots absent)."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    for k_, v in batch.items():
+        v = np.asarray(v)
+        rep = np.repeat(v, M, axis=0)
+        out[k_] = rep.copy()
+    for g in range(G):
+        rows = int(rng.randint(1, M + 1)) if float(batch["weight"][g]) > 0 else 0
+        for m in range(M):
+            s = g * M + m
+            if m >= rows:
+                out["weight"][s] = 0.0
+                out["label"][s] = 0.0
+                out["u_idx"][s] = n
+                out["u_val"][s] = 0.0
+                out["i_idx"][s] = n
+                out["i_val"][s] = 0.0
+                out["g_idx"][s] = n_g - 1
+                out["g_val"][s] = 0.0
+            elif m > 0:
+                # distinct item rows per extra slot keeps the test honest
+                out["i_idx"][s] = (out["i_idx"][s] - 12) % 20 + 12
+                out["label"][s] = float(rng.randint(1, 6))
+    return {k_: jnp.asarray(v) for k_, v in out.items()}
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 2), (4, 2)])
+def test_sharded_svdpp_multirow(n_data, n_model):
+    """rows_per_user=M on the mesh: the M-wide implicitly-damped feedback
+    step must match the single-device _plus_step(rows_per_user=M)."""
+    if len(cpu_devices()) < n_data * n_model:
+        pytest.skip("not enough devices")
+    M = 4
+    state, batch, cfb, lr, fbh, consts, hp = _toy_plus(G=8)
+    n = state.w.shape[0] - 1
+    mbatch = _widen_multirow(batch, 8, M, n, state.g.shape[0])
+    ref = jax.tree.map(jnp.copy, state)
+    for _ in range(4):
+        ref = _plus_step(
+            ref, mbatch, cfb, lr, consts, hp, fbh, rows_per_user=M
+        )
+    mesh = make_mesh(n_data, n_model, cpu_devices())
+    G, F = 8, cfb["fb_idx"].shape[0]
+    sstate, sbatch, scfb, sconsts, n_pad = _shard_inputs(
+        mesh, state, mbatch, cfb, consts, G
+    )
+    step = sharded_svdpp_step(mesh, hp, n_pad, G, F, M=M)
+    for _ in range(4):
+        sstate = step(sstate, sbatch, scfb, lr, fbh, sconsts)
+    nn = ref.w.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(sstate.w)[:nn], np.asarray(ref.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sstate.b)[:nn], np.asarray(ref.b), rtol=1e-4, atol=1e-5
+    )
+    assert int(sstate.step) == int(ref.step)
+
+
+def test_svdpp_trainer_mesh_multirow_lazy_config_path():
+    """Config-driven: mesh + rows_per_user>1 + lazy reg compose (the three
+    round-2 refusals) and match the single-device trainer."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    rng = np.random.RandomState(7)
+    data_lines, fb_lines = [], []
+    for u in range(10):
+        nrows = int(rng.randint(3, 8))
+        nfb = int(rng.randint(2, 5))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 15)}:1" for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 20)}:1"
+            )
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+    params = dict(
+        num_user=10, num_item=20, num_ufeedback=15, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004, wd_ufeedback=0.004,
+        users_per_batch=5, rows_per_user=2, reg_method=4,
+    )
+
+    def run(extra):
+        tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2})
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_sharded_svdpp_onehot_branch(monkeypatch):
     """The TPU one-hot forms of the sharded reductions/writebacks
     (mesh._seg_sum/_seg_sum_stacked, embed._scatter_rows/_scatter_vals,
