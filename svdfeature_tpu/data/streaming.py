@@ -88,9 +88,9 @@ def stream_train_round(trainer, source: StreamingCSRBuffer, prefetch: int = 2):
     The producer reads, packs and stages chunk i+1 while chunk i trains
     on device (jax dispatch is asynchronous, so staging overlaps compute
     naturally; the queue bounds host memory to ``prefetch`` chunks).
+    Staging goes through trainer.stage_chunk: data-sharded over a mesh
+    (each host its own slice) or a plain device_put single-device.
     """
-    import jax
-
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -102,7 +102,7 @@ def stream_train_round(trainer, source: StreamingCSRBuffer, prefetch: int = 2):
                 if stop.is_set():
                     return
                 arrays, nrow = trainer.pack_chunk(chunk, Tc, source.max_nnz)
-                if not _put_checking_stop(q, (jax.device_put(arrays), nrow), stop):
+                if not _put_checking_stop(q, (trainer.stage_chunk(arrays), nrow), stop):
                     return
         except BaseException as e:  # pragma: no cover
             _put_checking_stop(q, e, stop)
@@ -274,8 +274,6 @@ def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int 
     trajectory equals whole-dataset packing when blocks_per_chunk is a
     multiple of users_per_batch (the chunk grouping is then identical —
     pinned by tests/test_streaming.py)."""
-    import jax
-
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
     caps = source.plan_caps(trainer.users_per_batch, trainer.rows_per_user)
@@ -286,7 +284,7 @@ def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int 
                 if stop.is_set():
                     return
                 entry = trainer.pack_plus_chunk(chunk, caps)
-                if not _put_checking_stop(q, jax.device_put(entry), stop):
+                if not _put_checking_stop(q, trainer.stage_chunk_plus(entry), stop):
                     return
         except BaseException as e:  # pragma: no cover
             _put_checking_stop(q, e, stop)

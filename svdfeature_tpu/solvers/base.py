@@ -409,6 +409,20 @@ class SVDFeatureTrainer:
         return self._pack_cache[key]
 
     # ---- streaming (out-of-core) ---------------------------------------------
+    def _stream_seg_caps(self, raw_caps):
+        """Stable per-row segment caps for streamed chunks.  The stream's
+        structure pre-scan measures RAW per-row widths; hierarchical side
+        features (SparseFeatureArray) expand each id occurrence by its
+        parent list at pack time, so the cap grows by the worst-case
+        expansion factor (1 + max parents per id) — stable across chunks,
+        one compilation covers the stream."""
+        caps = list(raw_caps)
+        for seg, feat in ((1, self.feat_user), (2, self.feat_item)):
+            if feat is not None and feat.num_row:
+                mp = int(np.diff(feat.row_ptr).max(initial=0))
+                caps[seg] = int(raw_caps[seg]) * (1 + mp)
+        return tuple(caps)
+
     def pack_chunk(self, chunk: CSRDataset, min_batches: int, max_nnz):
         """Pack one streamed chunk to the stream's stable shapes."""
         m = self.model
@@ -423,7 +437,7 @@ class SVDFeatureTrainer:
             feat_item=self.feat_item,
             num_user=m.param.num_user,
             num_item=m.param.num_item,
-            seg_caps=tuple(max_nnz),
+            seg_caps=self._stream_seg_caps(max_nnz),
             min_batches=min_batches,
         )
         arrays = packed.arrays()
@@ -438,9 +452,26 @@ class SVDFeatureTrainer:
             )
         return arrays, chunk.num_row
 
+    def stage_chunk(self, arrays):
+        """Device staging for one packed chunk: data-sharded over the mesh
+        (each host stages only its slice) or a plain device_put."""
+        if self._mesh is not None:
+            from ..parallel.mesh import put_process_sharded
+
+            return put_process_sharded(arrays, self._mesh)
+        return jax.device_put(arrays)
+
     def train_chunk(self, arrays) -> None:
         """One on-device pass over a staged chunk (dispatch is async, so
         the producer thread's next pack/transfer overlaps this)."""
+        if self._mesh is not None:
+            self.state = self._sharded_rounds(
+                self.state,
+                arrays,
+                jnp.asarray([self.learning_rate], jnp.float32),
+                self.consts,
+            )
+            return
         self.state = train_epoch(
             self.state, arrays, jnp.float32(self.learning_rate), self.consts, self.hp
         )
@@ -451,15 +482,6 @@ class SVDFeatureTrainer:
         if hasattr(ds, "chunks"):  # streaming source (data/streaming.py)
             from ..data.streaming import stream_train_round
 
-            if self._mesh is not None:
-                raise NotImplementedError("streaming + mesh not wired yet")
-            if self.feat_user is not None or self.feat_item is not None:
-                # the stream's seg caps are raw per-row widths; hierarchy
-                # expansion (SparseFeatureArray) would exceed them
-                raise NotImplementedError(
-                    "streaming=1 with feature_user/feature_item side "
-                    "features is not supported; stage the dataset"
-                )
             stream_train_round(self, ds)
             return
         stacked, _ = self._pack(ds)
@@ -517,9 +539,35 @@ class SVDFeatureTrainer:
         if hasattr(ds, "chunks"):  # streaming source: bounded-memory eval
             # (the reference's task_eval consumes the thread iterator the
             # same way, svd_feature_infer.cpp:243-277)
-            if self._mesh is not None:
-                raise NotImplementedError("streaming + mesh not wired yet")
             Tc = -(-min(ds.examples_per_chunk, ds.num_row) // self.batch_size)
+            if self._mesh is not None:
+                # sharded streamed eval: tables stay row-sharded, each
+                # chunk is data-sharded and scored on the mesh
+                if self._sharded_pred is None:
+                    if self._mesh_big:
+                        from ..parallel.mesh_big import sharded_predict_big
+
+                        self._sharded_pred = sharded_predict_big(
+                            self._mesh, self.hp, self._n_real
+                        )
+                    else:
+                        from ..parallel.mesh import sharded_predict
+
+                        self._sharded_pred = sharded_predict(
+                            self._mesh, self.hp, self._n_pad
+                        )
+                out = []
+                for chunk in ds.chunks():
+                    arrays, nrow = self.pack_chunk(chunk, Tc, ds.max_nnz)
+                    preds = self._sharded_pred(self.state, self.stage_chunk(arrays))
+                    if jax.process_count() > 1:
+                        from jax.experimental.multihost_utils import (
+                            process_allgather,
+                        )
+
+                        preds = process_allgather(preds, tiled=True)
+                    out.append(np.asarray(preds).reshape(-1)[:nrow])
+                return np.concatenate(out) if out else np.zeros(0, np.float32)
             st = self.state_or_model()
             out = []
             for chunk in ds.chunks():

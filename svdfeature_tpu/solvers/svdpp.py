@@ -286,8 +286,13 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def pack_plus_chunk(self, chunk: PlusDataset, caps: dict):
         """Pack one streamed user-group chunk to the stream's stable
         shapes (file order — the reference's streaming iterators also
-        process blocks in file order, apex_svd_data.cpp:1265-1299)."""
+        process blocks in file order, apex_svd_data.cpp:1265-1299).
+        Hierarchical side features widen the raw seg caps by their
+        worst-case expansion factor; on a mesh the user slots and pool
+        are padded to the data axis (pad_plus_for_mesh)."""
         m = self.model
+        caps = dict(caps)
+        caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
         packed = pack_plus(
             chunk,
             self.users_per_batch,
@@ -304,12 +309,44 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             rows_per_user=self.rows_per_user,
             **caps,
         )
+        arrays = packed.device_arrays()
+        fbd = packed.fb_arrays()
+        if self._mesh is not None:
+            from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+            arrays.pop("chunk_id", None)
+            arrays, fbd, _, _ = pad_plus_for_mesh(
+                arrays,
+                fbd,
+                packed.num_blocks_local,
+                self.mesh_data,
+                m.num_rows,
+                m.param.num_global,
+                M=packed.rows_per_user,
+            )
         return (
-            packed.device_arrays(),
+            arrays,
             packed.chunk_id,
-            packed.fb_arrays(),
+            fbd,
             packed.fb_overlap,
         )
+
+    def stage_chunk_plus(self, entry):
+        """Device staging for one packed plus chunk (mesh-aware)."""
+        stacked, chunk_id, fb, overlap = entry
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import put_process_sharded
+
+            rep = NamedSharding(self._mesh, P())
+            return (
+                put_process_sharded(stacked, self._mesh),
+                jax.device_put(chunk_id, rep),
+                {k: jax.device_put(v, rep) for k, v in fb.items()},
+                None,  # overlap unused on the mesh path
+            )
+        return jax.device_put(entry)
 
     def train_chunk_plus(self, entry) -> None:
         stacked, chunk_id, fb, overlap = entry
@@ -318,15 +355,6 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def _stream_round_plus(self, ds) -> None:
         from ..data.streaming import stream_train_round_plus
 
-        if self._mesh is not None:
-            raise NotImplementedError("streaming + mesh not wired for SVD++")
-        if self.feat_user is not None or self.feat_item is not None:
-            # the pre-scan caps are raw per-row widths; hierarchy
-            # expansion (SparseFeatureArray) would exceed them
-            raise NotImplementedError(
-                "streaming=1 with feature_user/feature_item side features "
-                "is not supported; stage the dataset (streaming=0)"
-            )
         if self.sort_blocks:
             # sort_blocks reorders the whole dataset; a streamed chunk
             # can only sort within itself, which both changes the
@@ -350,11 +378,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
 
     def predict_all(self, ds) -> np.ndarray:
         if hasattr(ds, "plan_caps"):  # streaming source: bounded-memory eval
-            if self._mesh is not None:
-                raise NotImplementedError("streaming + mesh not wired for SVD++")
             caps = ds.plan_caps(self.users_per_batch, self.rows_per_user)
-            st = self.state_or_model()
+            caps = dict(caps)
+            caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
             m = self.model
+            st = None if self._mesh is not None else self.state_or_model()
             out = []
             for chunk in ds.chunks():
                 packed = pack_plus(
@@ -366,6 +394,44 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     num_ufeedback=m.param.num_ufeedback,
                     rows_per_user=self.rows_per_user, **caps,
                 )
+                if self._mesh is not None:
+                    # sharded streamed eval: tables stay row-sharded
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from ..parallel.mesh import put_process_sharded
+                    from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+                    M = packed.rows_per_user
+                    arrays = packed.device_arrays()
+                    arrays.pop("chunk_id", None)
+                    arrays, fbd, Gp, Fp = pad_plus_for_mesh(
+                        arrays, packed.fb_arrays(), packed.num_blocks_local,
+                        self.mesh_data, m.num_rows, m.param.num_global, M=M,
+                    )
+                    key = ("pred", Gp, Fp, M)
+                    if key not in self._plus_sharded:
+                        from ..parallel.svdpp_mesh import sharded_svdpp_predict
+
+                        self._plus_sharded[key] = sharded_svdpp_predict(
+                            self._mesh, self.hp, self._n_pad, Gp, Fp, M=M
+                        )
+                    rep = NamedSharding(self._mesh, P())
+                    preds = self._plus_sharded[key](
+                        self.state,
+                        put_process_sharded(arrays, self._mesh),
+                        jax.device_put(packed.chunk_id, rep),
+                        {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                    )
+                    if jax.process_count() > 1:
+                        from jax.experimental.multihost_utils import (
+                            process_allgather,
+                        )
+
+                        preds = process_allgather(preds, tiled=True)
+                    GS = packed.num_blocks_local * M
+                    perm = (packed.perm // GS) * (Gp * M) + packed.perm % GS
+                    out.append(np.asarray(preds).reshape(-1)[perm])
+                    continue
                 preds = np.asarray(
                     predict_batches_plus(
                         st,

@@ -321,3 +321,190 @@ def test_update_rounds_streaming_csr(tmp_path):
         np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
     )
     assert abs(staged.learning_rate - streamed.learning_rate) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# composition: streaming x mesh, streaming x hierarchy (round-2 refusals)
+# --------------------------------------------------------------------------
+def _cpu_devices(n):
+    import jax
+
+    ds = jax.devices("cpu")
+    return ds if len(ds) >= n else None
+
+
+def test_streamed_mesh_matches_staged(tmp_path):
+    """streaming=1 on a (2x2) mesh must produce the same model as the
+    staged single-device trainer (the two scale features compose)."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    ds = make_ds()
+    path = str(tmp_path / "b.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=256)
+
+    staged = make_trainer()
+    for _ in range(3):
+        staged.update_all(ds)
+
+    streamed = make_trainer()
+    streamed.set_param("mesh_data", "2")
+    streamed.set_param("mesh_model", "2")
+    streamed.init_model()
+    streamed.init_trainer()
+    for _ in range(3):
+        streamed.update_all(src)
+
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.b), np.asarray(staged.model.b),
+        rtol=1e-4, atol=1e-5,
+    )
+    # streamed eval on the mesh: tables stay sharded, chunks scored sharded
+    got = streamed.predict_all(src)
+    want = staged.predict_all(ds)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_mesh_big_matches_staged(tmp_path):
+    """streaming x mesh x big slabs: the dedup mesh path trains from a
+    streamed source (all three scale axes at once)."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    ds = make_ds()
+    path = str(tmp_path / "b.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=256)
+
+    staged = make_trainer()
+    for _ in range(2):
+        staged.update_all(ds)
+
+    streamed = make_trainer()
+    for k, v in dict(mesh_data=2, mesh_model=2, mesh_big=1).items():
+        streamed.set_param(k, str(v))
+    streamed.init_model()
+    streamed.init_trainer()
+    assert streamed._mesh_big
+    for _ in range(2):
+        streamed.update_all(src)
+
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    got = streamed.predict_all(src)
+    want = staged.predict_all(ds)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_hierarchy_matches_staged(tmp_path):
+    """streaming=1 with feature_user/feature_item side features: the
+    pre-scan caps widen by the expansion factor and the trajectory equals
+    the staged run (round-2 refusal removed)."""
+    ds = make_ds(rows=300)
+    path = str(tmp_path / "b.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=128)
+    fu = tmp_path / "fu.txt"
+    # user 0 -> ancestor 3 (0.5) and 5 (0.25); user 1 -> ancestor 4 (2.0)
+    fu.write_text("2 3:0.5 5:0.25\n1 4:2.0\n" + "0\n" * 38)
+
+    def run(source):
+        tr = SVDFeatureTrainer(SVDTypeParam())
+        for k, v in dict(
+            num_user=40, num_item=60, num_factor=8, base_score=3,
+            learning_rate=0.01, wd_user=0.004, wd_item=0.004, batch_size=64,
+            feature_user=str(fu),
+        ).items():
+            tr.set_param(k, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(source)
+        return tr
+
+    staged = run(ds)
+    streamed = run(src)
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.w), np.asarray(staged.state.w), atol=1e-6
+    )
+    assert int(streamed.state.step) == int(staged.state.step)
+    np.testing.assert_allclose(
+        streamed.predict_all(src), staged.predict_all(ds), atol=1e-6
+    )
+
+
+def test_plus_streamed_mesh_matches_staged(tmp_path):
+    """SVD++ streaming x mesh (+ rows_per_user) parity with the staged
+    single-device trainer."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer()
+    for _ in range(3):
+        staged.update_all(pds)
+
+    streamed = make_plus_trainer(extra=dict(mesh_data=2, mesh_model=2))
+    for _ in range(3):
+        streamed.update_all(src)
+
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.b), np.asarray(staged.model.b),
+        rtol=1e-4, atol=1e-5,
+    )
+    # sharded streamed eval
+    got = streamed.predict_all(src)
+    want = staged.predict_all(pds)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_plus_streamed_mesh_multirow(tmp_path):
+    """SVD++ streaming x mesh x rows_per_user=2 matches the staged
+    single-device multirow trainer."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer(extra=dict(rows_per_user=2))
+    for _ in range(3):
+        staged.update_all(pds)
+
+    streamed = make_plus_trainer(
+        extra=dict(rows_per_user=2, mesh_data=2, mesh_model=2)
+    )
+    for _ in range(3):
+        streamed.update_all(src)
+
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
