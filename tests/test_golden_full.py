@@ -125,6 +125,101 @@ def test_implicit_feedback_40round_trajectory(golden):
     assert abs(min(got) - want_best) < 0.003, (min(got), want_best)
 
 
+def _implicit_feedback_data():
+    train = load_plus_text(
+        "x", "y",
+        text=read_fixture_text("ml100k.base.group.feature.gz"),
+        feedback_text=read_fixture_text("ml100k.base.feedback.gz"),
+    )
+    test = load_plus_text(
+        "x", "y",
+        text=read_fixture_text("ml100k.test.ug.feature.gz"),
+        feedback_text=read_fixture_text("ml100k.test.feedback.gz"),
+    )
+    return train, test
+
+
+def _read_rmse_tsv(name):
+    out = {}
+    for line in (GOLDEN / name).read_text().splitlines():
+        r, v = line.split()
+        out[int(r)] = float(v)
+    return out
+
+
+def _side_solver_trajectory(extend_type, rounds):
+    """Drive an extend_type through the registry on the implicitFeedback
+    workload — the configuration the side-solver goldens were generated
+    with (reference binary, extend_type=15/2; on ML-100K both degenerate
+    to plain SVD++: bilinear because the shipped binary's
+    prepare_ufeedback override never binds — virtual on a non-virtual
+    base, apex_svd_bilinear.h:170-181 — and multi-IMFB because DEFAULT
+    blocks have stack depth 1, apex_multi_imfb.h:83-109)."""
+    from svdfeature_tpu.solvers.registry import create_svd_trainer
+
+    train, test = _implicit_feedback_data()
+    p = dict(BASIC, format_type=1, num_ufeedback=1682, wd_ufeedback=0.004)
+    mt = SVDTypeParam(
+        format_type=svd_type.USER_GROUP_FORMAT, extend_type=extend_type
+    )
+    tr = create_svd_trainer(mt)
+    for n, v in p.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    return trajectory(tr, train, test, test.rows.labels, rounds=rounds)
+
+
+def test_bilinear_golden_trajectory():
+    """golden/bilinear.rmse.tsv: reference extend_type=15 on the
+    implicitFeedback workload, 8 rounds (== the reference SVD++ run; see
+    _side_solver_trajectory).  Batched-vs-sequential bound as in the
+    implicitFeedback gate's early regime."""
+    want = _read_rmse_tsv("bilinear.rmse.tsv")
+    got = _side_solver_trajectory(15, rounds=len(want))
+    assert_trajectory(got, want, 0.01)
+
+
+def test_multi_imfb_golden_trajectory():
+    """golden/multi_imfb.rmse.tsv: reference extend_type=2 on the
+    implicitFeedback workload, 8 rounds."""
+    want = _read_rmse_tsv("multi_imfb.rmse.tsv")
+    got = _side_solver_trajectory(2, rounds=len(want))
+    assert_trajectory(got, want, 0.01)
+
+
+def test_gbrt_reg_golden_trajectory():
+    """golden/gbrt_reg.rmse.tsv: reference extend_type=31 (RegGBRT) on
+    the implicitFeedback workload with the recorded tree params.  The
+    exact-greedy fit is deterministic, so parity is 6 decimals (the
+    tolerance below is rounding headroom only)."""
+    from svdfeature_tpu.solvers.registry import create_svd_trainer
+
+    train, test = _implicit_feedback_data()
+    p = dict(
+        BASIC, format_type=1, num_ufeedback=1682, wd_ufeedback=0.004,
+        extend_type=31, num_spec_sparse=943, learning_rate=0.3,
+        min_split_loss=1, min_split_instance=100, min_child_instance=20,
+        min_child_weight=5, min_split_weight=10, max_depth=5, rt_loss_type=1,
+    )
+    mt = SVDTypeParam()
+    for n, v in p.items():
+        mt.set_param(n, str(v))
+    mt.decide_format()
+    tr = create_svd_trainer(mt)
+    for n, v in p.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    want = _read_rmse_tsv("gbrt_reg.rmse.tsv")
+    for r in range(len(want)):
+        tr.set_round(r)
+        tr.update_all(train)
+        tr.finish_round()
+        got = rmse(tr.predict_all(test), test.rows.labels)
+        assert abs(got - want[r + 1]) < 5e-6, (r + 1, got, want[r + 1])
+
+
 def test_pairwise_rank_p20_full(golden, tmp_path):
     """Drive the complete pairwiseRank demo pipeline (buffers -> 40-round
     train -> ranker pred) and pin P@20 + the pred.txt golden diff."""
