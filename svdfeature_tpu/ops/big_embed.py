@@ -159,7 +159,10 @@ def gather_rows(w, idx, *, row_dma: bool):
     return w[idx]
 
 
-def _forward_entries(state, batch, lr, consts, hp, p_u_extra=None, bias_extra=None):
+def _forward_entries(
+    state, batch, lr, consts, hp, p_u_extra=None, bias_extra=None,
+    bias_plugin=None,
+):
     """Shared front half of the big-table step: lazy-global catch-up,
     forward, error, global-bias update, and the batch's (row, payload)
     entry stream.  Used by the sorted-dedup write path below, the
@@ -229,6 +232,10 @@ def _forward_entries(state, batch, lr, consts, hp, p_u_extra=None, bias_extra=No
         p_u = p_u + p_u_extra
     score = hp.base_score + _gather_sum(g, g_idx, batch["g_val"])
     score = score + jnp.einsum("bs,bs->b", i_val, bi)
+    if bias_plugin is not None:
+        # solver plugin bias (get_bias_plugin, apex_svd_base.h:436-438) —
+        # outside the no_user_bias gate, like ops/embed.forward_scores
+        score = score + bias_plugin
     if not hp.no_user_bias:
         score = score + jnp.einsum("bs,bs->b", u_val, bu)
         if bias_extra is not None:

@@ -25,6 +25,7 @@ from .embed import (
     TrainConsts,
     TrainState,
     _apply_factor_reg,
+    _lazy_catchup,
     _scatter_rows,
     _scatter_vals,
     _soft_threshold,
@@ -64,6 +65,12 @@ def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     cu = _touch_counts(n_ui, u_idx)
     ci = _touch_counts(n_ui, i_idx)
     cg = _touch_counts(n_g, g_idx)
+
+    # lazy catch-up AFTER the block's aggregates (the reference computes
+    # prepare_ufeedback before any regularize call, apex_svd_base.h:568-582)
+    # and before the forward — same order as ops/svdpp._plus_step
+    state = _lazy_catchup(state, cu, ci, cg, lr, consts, hp)
+    w, g = state.w, state.g
 
     p_u_extra = fb_sum[ctx].sum(axis=1)  # [G, k]
     bias_extra = fb_bias[ctx].sum(axis=1) if with_bias else None
@@ -146,6 +153,112 @@ def train_epoch_imfb(
         batch, cid = xs
         cfb = jax.tree.map(lambda a: a[cid], fb)
         st = _imfb_step(
+            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db)
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (stacked, chunk_id))
+    return state
+
+
+def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
+    """_imfb_step on the augmented big-table layout: row updates through
+    big_embed._forward_entries/apply_entries (touched-rows-only reg, one
+    dedup write) and the per-batch context writeback through
+    svdpp_big._fb_writeback_big keyed by fb_ctx — no table-sized scatter
+    or whole-table decay anywhere.  Same per-batch refresh formulation
+    (and therefore the same trajectory) as the small step."""
+    import dataclasses
+
+    from .big_embed import _forward_entries, apply_entries
+    from .svdpp_big import _fb_writeback_big
+
+    lr_fb, d, db = fb_hyper
+    k = hp.num_factor
+    with_bias = not hp.no_user_bias
+    ctx = batch["ctx_slots"]  # [G, D]
+    nseg = enabled.shape[0]
+
+    w = state.w
+    fb_sum, norm, fb_bias = _ctx_aggregates(
+        w[:, :k], w[:, k], cfb, nseg, with_bias
+    )
+    p_u_extra = fb_sum[ctx].sum(axis=1)  # [G, k]
+    bias_extra = fb_bias[ctx].sum(axis=1) if with_bias else None
+    g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, err, p_i = (
+        _forward_entries(
+            state, batch, lr, consts, hp,
+            p_u_extra=p_u_extra, bias_extra=bias_extra,
+        )
+    )
+    w = apply_entries(
+        state.w, state.step, ent_idx, payload, rows_u, rows_i, wu, wi,
+        lr, consts, hp,
+    )
+    st = TrainState(
+        w=w, b=state.b, g=g, step=nstep, ref_ui=state.ref_ui, ref_g=ref_g
+    )
+
+    # per-context deltas — identical math to _imfb_step
+    G, D = ctx.shape
+    flat_ctx = ctx.reshape(-1)
+    S = jnp.zeros((nseg, k)).at[flat_ctx].add(
+        jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(G * D, k)
+    )
+    nrow = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(batch["weight"], D))
+    gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
+    inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+    dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
+    delta = dtmp * (inv_norm * gate)[:, None]
+    if with_bias:
+        S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+        dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
+        delta_b = dtmp_b * inv_norm * gate
+    else:
+        delta_b = None
+    w = _fb_writeback_big(
+        st.w,
+        {
+            "fb_idx": cfb["fb_idx"],
+            "fb_block": cfb["fb_ctx"],
+            "fb_val": cfb["fb_val"],
+        },
+        delta,
+        delta_b,
+        with_bias,
+        k,
+        hp.row_dma,
+    )
+    return dataclasses.replace(st, w=w)
+
+
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_epoch_imfb_big(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    disable_mask,  # [C, M+1] 1.0 = enabled
+    lr,
+    consts: TrainConsts,
+    hp: HyperParams,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+):
+    """train_epoch_imfb on the augmented big-table layout (``state`` from
+    big_embed.augment_state, ``hp.big_table`` set).  The reference trains
+    extend_type=2 at any table size (apex_multi_imfb.h:31-194); this is
+    the path that keeps that true past ONEHOT_THRESHOLD."""
+    assert hp.big_table and not hp.sweep_table
+    lr_fb = lr * scale_lr_ufeedback
+    d = 1.0 - lr_fb * wd_ufeedback
+    db = 1.0 - lr_fb * wd_ufeedback_bias
+
+    def body(st, xs):
+        batch, cid = xs
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        st = _imfb_step_big(
             st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db)
         )
         return st, None

@@ -191,6 +191,193 @@ def train_epoch_bi(
     return state, W_bi_pad[:-1]
 
 
+def _bi_step_big(W_bi_pad, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item, row_dma):
+    """_bi_step on a large W_bi: touched-rows-only gather -> sorted-dedup
+    merge -> ONE unique-row write (ops/big_embed primitives), instead of
+    the table-sized .at[].add + whole-table decay.  Identical math: only
+    touched rows change under either form (untouched rows have touch
+    count 0, so decay^0 == 1)."""
+    from .big_embed import gather_rows, sorted_dedup, write_rows_unique
+
+    num_item = W_bi_pad.shape[0] - 1
+    nbf = W_bi_pad.shape[1]
+    i_idx, i_val = batch["i_idx"], batch["i_val"]
+    lid, _ = _local_item_ids(i_idx, off_item, num_item)  # dummy = num_item
+    G, S = lid.shape
+    coef = (lr_bi * err)[:, None] * i_val  # [G, S]
+    upd = coef[..., None] * up_slot[:, None, :]  # [G, S, nbf]
+    lam = lr_bi * wd_bi
+    if reg_bi in (0, 1, 4, 5):
+        # per-pair touch counters ride the payload next to the update
+        pair_touch = (jnp.abs(i_val) > 0)[..., None] & (
+            jnp.abs(up_slot) > 0
+        )[:, None, :]
+        pay = jnp.concatenate(
+            [upd, pair_touch.astype(jnp.float32)], axis=-1
+        ).reshape(G * S, 2 * nbf)
+    elif reg_bi in (2, 3):
+        occ = (jnp.abs(i_val) > 0).astype(jnp.float32)  # [G, S]
+        pay = jnp.concatenate([upd, occ[..., None]], axis=-1).reshape(
+            G * S, nbf + 1
+        )
+    else:
+        raise ValueError(f"unknown bi feedback decay method {reg_bi}")
+    order, si, acc, first, last = sorted_dedup(lid.reshape(-1), pay)
+    old = gather_rows(W_bi_pad, si, row_dma=row_dma)  # [E, nbf]
+    new = old + acc[:, :nbf]
+    if reg_bi == 0:
+        new = new * jnp.power(1.0 - lam, acc[:, nbf:])
+    elif reg_bi in (1, 4, 5):
+        new = _soft_threshold(new, lam * acc[:, nbf:])
+    elif reg_bi == 2:
+        new = new * jnp.power(1.0 - lam, acc[:, nbf])[:, None]
+    else:  # reg_bi == 3
+        new = _soft_threshold(new, (lam * acc[:, nbf])[:, None])
+    is_real = last & (si != num_item)
+    tgt = jnp.where(is_real, si, num_item)
+    new = jnp.where(is_real[:, None], new, 0.0)
+    return write_rows_unique(W_bi_pad, tgt, new, row_dma=row_dma)
+
+
+@partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
+def train_epoch_bi_big(
+    state: TrainState,
+    W_bi,
+    stacked,
+    chunk_id,
+    fb,
+    fb_overlap,
+    up,
+    lr,
+    consts: TrainConsts,
+    hp: HyperParams,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+    slr_bi=1.0,
+    wd_bi=0.0,
+    reg_bi: int = 0,
+    off_item: int = 0,
+):
+    """train_epoch_bi on the augmented big-table layout: the chunk-carried
+    SVD++ recurrence of ops/svdpp_big.train_epoch_plus_big plus the
+    bilinear plugin bias and the dedup-write W_bi step.  ``state`` must be
+    augmented (big_embed.augment_state) with ``hp.big_table`` set; W_bi
+    itself also takes the touched-rows-only path (_bi_step_big), so both
+    the unified table and the item-property matrix scale past
+    ONEHOT_THRESHOLD (the reference imposes no size limit,
+    apex_svd_bilinear.h:28-212)."""
+    import dataclasses
+
+    from .big_embed import (
+        _forward_entries,
+        apply_entries,
+        gather_rows,
+    )
+    from .svdpp_big import _fb_writeback_big
+
+    assert hp.big_table and not hp.sweep_table
+    T, G = stacked["label"].shape
+    k = hp.num_factor
+    lr_fb = lr * scale_lr_ufeedback
+    d = 1.0 - lr_fb * wd_ufeedback
+    db = 1.0 - lr_fb * wd_ufeedback_bias
+    lr_bi = lr * slr_bi
+    num_item = W_bi.shape[0]
+    with_bias = not hp.no_user_bias
+    W_bi_pad = jnp.concatenate([W_bi, jnp.zeros((1, W_bi.shape[1]))], axis=0)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
+    )
+
+    def flush(st, cid, dacc, dbacc):
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        w = _fb_writeback_big(
+            st.w, cfb, dacc, dbacc if with_bias else None, with_bias, k,
+            hp.row_dma,
+        )
+        return dataclasses.replace(st, w=w)
+
+    def body(carry, xs):
+        st, Wb, pc, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = carry
+        batch, cid, first = xs
+
+        def on_boundary(op):
+            st, pc, dacc, dbacc = op
+            st = flush(st, pc, dacc, dbacc)
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            s, nrm, sb = _fb_aggregates(
+                st.w[:, :k], st.w[:, k], cfb, G + 1, with_bias
+            )
+            nrm = nrm[:G]
+            inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+            return (
+                st, fb_overlap[cid], s[:G], sb[:G], nrm, inv,
+                jnp.zeros_like(dacc), jnp.zeros_like(dbacc),
+            )
+
+        def off_boundary(op):
+            st, pc, dacc, dbacc = op
+            return st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc
+
+        st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = jax.lax.cond(
+            first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
+        )
+        up_slot = up[cid][:G]  # [G, nbf]
+        lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
+        rows_bi = gather_rows(Wb, lid, row_dma=hp.row_dma)  # [G, S, nbf]
+        per = jnp.einsum("gsn,gn->gs", rows_bi, up_slot)
+        plug = jnp.einsum("gs,gs->g", per, batch["i_val"])
+        g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, err, p_i = (
+            _forward_entries(
+                st, batch, lr, consts, hp,
+                p_u_extra=fb_sum,
+                bias_extra=fb_bias if with_bias else None,
+                bias_plugin=plug,
+            )
+        )
+        w = apply_entries(
+            st.w, st.step, ent_idx, payload, rows_u, rows_i, wu, wi,
+            lr, consts, hp,
+        )
+        st = TrainState(
+            w=w, b=st.b, g=g, step=nstep, ref_ui=st.ref_ui, ref_g=ref_g
+        )
+        Wb = _bi_step_big(
+            Wb, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item,
+            hp.row_dma,
+        )
+        # feedback recurrence — identical math to train_epoch_bi
+        present = batch["weight"]
+        dtmp = (
+            fb_sum * (d - 1.0) * present[:, None]
+            + lr_fb * norm[:, None] * (err[:, None] * p_i)
+        )
+        delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
+        dacc = dacc + delta_pad
+        fb_sum = fb_sum + (O @ delta_pad)[:G]
+        if with_bias:
+            dtmp_b = fb_bias * (db - 1.0) * present + lr_fb * norm * err
+            delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
+            dbacc = dbacc + delta_b_pad
+            fb_bias = fb_bias + (O @ delta_b_pad)[:G]
+        return (st, Wb, cid, O, fb_sum, fb_bias, norm, inv, dacc, dbacc), None
+
+    z = jnp.zeros((G, k), jnp.float32)
+    zb = jnp.zeros((G,), jnp.float32)
+    init = (
+        state, W_bi_pad, jnp.int32(0),
+        jnp.zeros((G + 1, G + 1), jnp.float32),
+        z, zb, zb, zb,
+        jnp.zeros((G + 1, k), jnp.float32), jnp.zeros((G + 1,), jnp.float32),
+    )
+    (state, W_bi_pad, last_cid, _, _, _, _, _, dacc, dbacc), _ = jax.lax.scan(
+        body, init, (stacked, chunk_id, is_first)
+    )
+    state = flush(state, last_cid, dacc, dbacc)
+    return state, W_bi_pad[:-1]
+
+
 @partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
 def train_epoch_bi_refresh(
     state: TrainState,

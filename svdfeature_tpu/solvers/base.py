@@ -476,12 +476,31 @@ class SVDFeatureTrainer:
             self.state, arrays, jnp.float32(self.learning_rate), self.consts, self.hp
         )
 
+    def _round_stream_chunk(self, ds) -> None:
+        """Round examples_per_chunk down to a batch_size multiple (up for
+        tiny values): the streamed trajectory equals the staged run only
+        when every chunk splits into whole batches (data/streaming.py
+        module docstring); validated here, at the first use of the
+        source, rather than silently diverging."""
+        epc = ds.examples_per_chunk
+        if epc % self.batch_size:
+            new = max(self.batch_size, epc - epc % self.batch_size)
+            import warnings
+
+            warnings.warn(
+                f"streaming: examples_per_chunk={epc} is not a multiple of "
+                f"batch_size={self.batch_size}; rounding to {new} to keep "
+                "the staged-run trajectory guarantee"
+            )
+            ds.examples_per_chunk = new
+
     # ---- training / prediction --------------------------------------------------
     def update_all(self, ds: CSRDataset) -> None:
         """One pass over the dataset (one round)."""
         if hasattr(ds, "chunks"):  # streaming source (data/streaming.py)
             from ..data.streaming import stream_train_round
 
+            self._round_stream_chunk(ds)
             stream_train_round(self, ds)
             return
         stacked, _ = self._pack(ds)

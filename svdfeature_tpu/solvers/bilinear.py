@@ -60,9 +60,12 @@ class BParam:
 
 
 class SVDBiLinearTrainer(SVDPPFeatureTrainer):
-    # the bilinear epoch drives the standard state layout (bias plugin +
-    # W_bi coupling); big-table routing applies to base/SVD++ only
-    SUPPORTS_BIG_TABLE = False
+    # above ONEHOT_THRESHOLD both the unified table (augmented layout,
+    # ops/svdpp_big.py) and W_bi (touched-rows dedup writes,
+    # ops/svdpp_bilinear._bi_step_big) ride the big-table path; requires
+    # a disjoint feedback space like SVD++ (svdpp._build_hp falls back
+    # to the small layout under common_feedback_space=1)
+    SUPPORTS_BIG_TABLE = True
 
     def _init_mesh(self) -> None:
         raise NotImplementedError(
@@ -180,6 +183,21 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             # refresh per batch
             self.state, self.W_bi = train_epoch_bi_refresh(
                 self.state, self.W_bi, stacked, chunk_id, fb, up,
+                jnp.float32(self.learning_rate), self.consts, self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+                self.slr_bi_feedback,
+                self.wd_bi_feedback,
+                self.reg_bi_feedback,
+                self.model.off_item,
+            )
+            return
+        if self.hp.big_table:
+            from ..ops.svdpp_bilinear import train_epoch_bi_big
+
+            self.state, self.W_bi = train_epoch_bi_big(
+                self.state, self.W_bi, stacked, chunk_id, fb, overlap, up,
                 jnp.float32(self.learning_rate), self.consts, self.hp,
                 self.tparam.scale_lr_ufeedback,
                 self.tparam.wd_ufeedback,

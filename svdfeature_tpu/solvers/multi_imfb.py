@@ -19,9 +19,10 @@ from .svdpp import SVDPPFeatureTrainer
 
 
 class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
-    # the stacked-IMFB epoch drives the standard state layout; big-table
-    # routing applies to base/SVD++ only
-    SUPPORTS_BIG_TABLE = False
+    # above ONEHOT_THRESHOLD the stacked epoch rides the augmented layout
+    # (ops/imfb.train_epoch_imfb_big): row updates via _forward_entries +
+    # dedup writes, context writebacks via _fb_writeback_big keyed fb_ctx
+    SUPPORTS_BIG_TABLE = True
 
     def _init_mesh(self) -> None:
         raise NotImplementedError(
@@ -80,6 +81,17 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
 
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, enabled = entry
+        if self.hp.big_table:
+            from ..ops.imfb import train_epoch_imfb_big
+
+            self.state = train_epoch_imfb_big(
+                self.state, stacked, chunk_id, fb, enabled,
+                jnp.float32(self.learning_rate), self.consts, self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+            )
+            return
         self.state = train_epoch_imfb(
             self.state,
             stacked,

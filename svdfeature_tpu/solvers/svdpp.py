@@ -363,6 +363,20 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 "sort_blocks=1 is a whole-dataset option and is not "
                 "supported with streaming=1"
             )
+        # trajectory == staged run only when chunks split into whole
+        # user-batches (stream_train_round_plus docstring); round down
+        # rather than silently diverge
+        bpc = ds.blocks_per_chunk
+        if bpc % self.users_per_batch:
+            new = max(self.users_per_batch, bpc - bpc % self.users_per_batch)
+            import warnings
+
+            warnings.warn(
+                f"streaming: blocks_per_chunk={bpc} is not a multiple of "
+                f"users_per_batch={self.users_per_batch}; rounding to {new} "
+                "to keep the staged-run trajectory guarantee"
+            )
+            ds.blocks_per_chunk = new
         stream_train_round_plus(self, ds)
 
     def update_all(self, ds) -> None:

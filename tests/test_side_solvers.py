@@ -155,3 +155,100 @@ def test_bilinear_reg_modes(reg):
               reg_bi_feedback=reg)
     tr.update_all(ds)
     assert np.isfinite(np.asarray(tr.W_bi)).all()
+
+
+@pytest.mark.parametrize("reg", [0, 1, 4, 5])
+def test_imfb_lazy_reg_matches_svdpp(reg):
+    """At stack depth 1 multi-IMFB degenerates to plain SVD++ for EVERY
+    reg mode — including lazy 4/5, which need the _lazy_catchup the
+    eager modes don't (regularize(pre), apex_svd_base.h:457)."""
+    ds = tiny_plus()
+    t1 = make(SVDPPFeatureTrainer, reg_method=reg, wd_user=0.01, wd_item=0.01)
+    t2 = make(SVDPPMultiIMFBTrainer, reg_method=reg, wd_user=0.01, wd_item=0.01)
+    for _ in range(3):
+        t1.update_all(ds)
+        t2.update_all(ds)
+    np.testing.assert_allclose(
+        np.asarray(t1.state.w), np.asarray(t2.state.w), rtol=1e-5, atol=1e-6
+    )
+    if reg >= 4:
+        np.testing.assert_array_equal(
+            np.asarray(t1.state.ref_ui), np.asarray(t2.state.ref_ui)
+        )
+
+
+@pytest.mark.parametrize("reg", [0, 4])
+def test_imfb_routes_big_table(monkeypatch, reg):
+    """Forcing ONEHOT_THRESHOLD below the table size must flip multi-IMFB
+    onto the augmented epoch (ops/imfb.train_epoch_imfb_big) with an
+    unchanged training outcome, including nested contexts and disable
+    levels."""
+    from svdfeature_tpu.ops import embed
+
+    base = tiny_plus()
+    blocks = list(base.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
+                  extend_tag=TAG_END),
+    ] + blocks[2:]
+    ds = PlusDataset.from_blocks(nested)
+
+    def run():
+        tr = make(SVDPPMultiIMFBTrainer, reg_method=reg, wd_user=0.01,
+                  wd_item=0.01)
+        tr.set_param("ufeedback_disable_level", "1")
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    tr1 = run()
+    p1 = tr1.predict_all(ds)
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    tr2 = run()
+    assert tr2.hp.big_table and not tr2.hp.sweep_table
+    p2 = tr2.predict_all(ds)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=1e-5)
+    tr1._sync_model_from_state()
+    tr2._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(tr2.model.w), np.asarray(tr1.model.w), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr2.model.b), np.asarray(tr1.model.b), rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("reg", [0, 2, 5])
+def test_bilinear_routes_big_table(monkeypatch, reg):
+    """Forcing ONEHOT_THRESHOLD below the table size must flip bilinear
+    onto the augmented epoch (ops/svdpp_bilinear.train_epoch_bi_big, W_bi
+    on dedup writes) with an unchanged training outcome — mirrors
+    tests/test_svdpp_big.py::test_solver_routes_big_table."""
+    from svdfeature_tpu.ops import embed
+
+    ds = tiny_plus()
+    kw = dict(num_bi_feedback=10, wd_bi_feedback=0.01, reg_bi_feedback=reg)
+    tr1 = make(SVDBiLinearTrainer, **kw)
+    for _ in range(3):
+        tr1.update_all(ds)
+    p1 = tr1.predict_all(ds)
+
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    tr2 = make(SVDBiLinearTrainer, **kw)
+    assert tr2.hp.big_table and not tr2.hp.sweep_table
+    for _ in range(3):
+        tr2.update_all(ds)
+    np.testing.assert_allclose(
+        np.asarray(tr2.W_bi), np.asarray(tr1.W_bi), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(tr2.predict_all(ds), p1, rtol=1e-4, atol=1e-5)
+    # checkpoint sync deaugments cleanly
+    tr2._sync_model_from_state()
+    tr1._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(tr2.model.w), np.asarray(tr1.model.w), rtol=1e-4, atol=1e-6
+    )

@@ -508,3 +508,24 @@ def test_plus_streamed_mesh_multirow(tmp_path):
         np.asarray(streamed.model.w), np.asarray(staged.model.w),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_stream_chunk_rounds_to_batch_multiple(tmp_path):
+    """A chunk size that is not a batch_size multiple is rounded down
+    (with a warning) so the streamed trajectory still equals the staged
+    run — the guarantee is validated instead of silently diverging."""
+    ds = make_ds()
+    path = str(tmp_path / "b.buffer")
+    write_csr_buffer(path, ds, batch_size=64)
+    src = StreamingCSRBuffer(path, examples_per_chunk=250)  # 250 % 64 != 0
+
+    staged = make_trainer()
+    streamed = make_trainer()
+    with pytest.warns(UserWarning, match="rounding to 192"):
+        for _ in range(3):
+            staged.update_all(ds)
+            streamed.update_all(src)
+    assert src.examples_per_chunk == 192
+    np.testing.assert_allclose(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
+    )
