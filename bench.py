@@ -241,14 +241,113 @@ def child_main(results_path: str) -> None:
             "rmse_ok": abs(got - want) < 0.02,
         }
 
+    svdpp_res = None
     try:
-        put("implicitFeedback", bench_svdpp())
+        svdpp_res = bench_svdpp()
+        put("implicitFeedback", svdpp_res)
     except Exception as e:  # pragma: no cover
         print(f"WARNING: svdpp bench failed: {e}", file=sys.stderr)
 
-    # pairwiseRank is excluded from the TPU bench: its per-epoch host
-    # pair resampling + extra compilations dominate the driver budget;
-    # P@20 parity is gated by tests/test_golden_full.py (slow suite).
+    # ---- multi-IMFB (extend_type=2, carried overlap epoch) ----------------
+    # Same data as implicitFeedback (DEFAULT blocks = stack depth 1); the
+    # carried closed form keeps pool work O(chunks) like SVD++
+    # (ops/imfb.train_epoch_imfb_carried); trajectory parity is pinned by
+    # tests/test_side_solvers.py and the slow multi_imfb golden gate.
+    def bench_imfb():
+        from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
+        pds = load_plus_text(
+            "x", "y",
+            text=fx("ml100k.base.group.feature.gz"),
+            feedback_text=fx("ml100k.base.feedback.gz"),
+        )
+        pp = BASIC + [
+            ("wd_ufeedback", "0.004"), ("num_ufeedback", "1682"),
+        ]
+        tp = make(SVDPPMultiIMFBTrainer,
+                  dict(format_type=1, extend_type=2), pp)
+        tp.update_rounds(pds, 2)  # compile
+        _ = int(tp.state.step)
+        dt = None
+        for _ in range(2):
+            tp = make(SVDPPMultiIMFBTrainer,
+                      dict(format_type=1, extend_type=2), pp)
+            tp._pack_plus(pds)
+            t0 = time.time()
+            tp.update_rounds(pds, ROUNDS)
+            _ = int(tp.state.step)
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
+        res = {"examples_per_sec": round(ROUNDS * pds.rows.num_row / dt)}
+        if svdpp_res:
+            res["vs_svdpp"] = round(
+                res["examples_per_sec"] / svdpp_res["examples_per_sec"], 3
+            )
+        return res
+
+    try:
+        put("multiIMFB", bench_imfb())
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: multiIMFB bench failed: {e}", file=sys.stderr)
+
+    # ---- pairwiseRank (PairSource + SIGMOID_RANK) --------------------------
+    # Pair resampling runs one epoch ahead on a producer thread
+    # (solvers/svdpp._pair_entry) so the device-side training is what's
+    # timed; pair counts are deterministic so shapes stay stable.  P@20
+    # parity is gated by tests/test_golden_full.py (slow suite).
+    def bench_rank():
+        from svdfeature_tpu.data.rank import PairSource
+        from svdfeature_tpu.data.registry import IteratorConfig
+
+        train = load_plus_text(
+            "x", "y",
+            text=fx("ml100k.rank.base.feature.gz"),
+            feedback_text=fx("ml100k.rank.base.feedback.gz"),
+            scale_score=5,
+        )
+        pp = [
+            ("learning_rate", "0.005"), ("wd_user", "0.004"),
+            ("wd_item", "0.004"), ("num_user", "943"),
+            ("num_item", "1682"), ("num_global", "0"),
+            ("num_factor", "64"), ("active_type", "3"),
+            ("num_ufeedback", "1682"), ("wd_ufeedback", "0.004"),
+            ("no_user_bias", "1"),
+        ]
+
+        def run(rounds):
+            src = PairSource(train, IteratorConfig(), seed=10)
+            tr = make(SVDPPFeatureTrainer,
+                      dict(format_type=1, active_type=3), pp)
+            tr.update_rounds(src, rounds)
+            _ = int(tr.state.step)
+            return tr, src
+
+        run(1)  # compile
+        n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            tr, _ = run(ROUNDS)
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
+        res = {
+            "examples_per_sec": round(ROUNDS * n_pairs / dt),
+            "pairs_per_round": n_pairs,
+        }
+        # reference 40-round wall time on the same 3N workload (its pair
+        # counts follow the same deterministic formula,
+        # apex_svd_data.cpp:812-1025)
+        ref_s = golden.get("pairwiseRank", {}).get("train_seconds_40rounds_cpu")
+        if ref_s:
+            base = 40 * n_pairs / ref_s
+            res["examples_per_sec_cpu_reference"] = round(base)
+            res["vs_baseline"] = round(res["examples_per_sec"] / base, 2)
+        return res
+
+    try:
+        put("pairwiseRank", bench_rank())
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: pairwiseRank bench failed: {e}", file=sys.stderr)
 
     # ---- bigTable (synthetic KDD-Cup-scale: 2M-row table, k=64) -----------
     # Every real SVDFeature workload lives far above ONEHOT_THRESHOLD

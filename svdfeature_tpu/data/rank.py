@@ -98,6 +98,86 @@ class PairSource:
         return pairs
 
     def _gen_rows(self, d: CSRDataset, pairs) -> CSRDataset:
+        """Vectorized pair-row synthesis (the per-epoch hot path: the
+        device trains a round in milliseconds, so the resampling must not
+        cost seconds).  Entry-for-entry identical to _gen_rows_ref —
+        sorted-unique merge order, zero-diff entries kept — pinned by
+        tests/test_rank.py; the reference emits the same merge order
+        (apex_svd_data.cpp:828-860)."""
+        cfg = self.cfg
+        if cfg.rank_sample_pointwise or not pairs:
+            return self._gen_rows_ref(d, pairs)
+        P = len(pairs)
+        pr = np.fromiter((p for p, _ in pairs), np.int64, P)
+        nr = np.fromiter((n for _, n in pairs), np.int64, P)
+        rp = d.row_ptr.astype(np.int64)
+        idx_all, val_all = d.index, d.value
+        if cfg.rank_sample_method // 10 == 0:
+            labels = np.ones(P, np.float32)
+        else:
+            labels = (d.labels[pr] - d.labels[nr]).astype(np.float32)
+
+        def expand(rows, s, sign):
+            """All (pair, idx, sign*val) entries of segment s of rows."""
+            a = rp[3 * rows + s]
+            lens = (rp[3 * rows + s + 1] - a).astype(np.int64)
+            tot = int(lens.sum())
+            starts = np.cumsum(lens) - lens
+            pos = np.repeat(a - starts, lens) + np.arange(tot)
+            return (
+                np.repeat(np.arange(P, dtype=np.int64), lens),
+                idx_all[pos].astype(np.int64),
+                (sign * val_all[pos]).astype(np.float32),
+            )
+
+        def merged(s):
+            """Per-pair sorted-unique diff merge of segment s (value =
+            v_pos - v_neg on common ids, zero differences kept)."""
+            r1, i1, v1 = expand(pr, s, 1.0)
+            r2, i2, v2 = expand(nr, s, -1.0)
+            r = np.concatenate([r1, r2])
+            i = np.concatenate([i1, i2])
+            v = np.concatenate([v1, v2])
+            order = np.lexsort((i, r))
+            r, i, v = r[order], i[order], v[order]
+            first = np.ones(len(r), bool)
+            if len(r) > 1:
+                first[1:] = (r[1:] != r[:-1]) | (i[1:] != i[:-1])
+            grp = np.cumsum(first) - 1
+            sv = np.zeros(int(first.sum()), np.float32)
+            np.add.at(sv, grp, v)
+            return r[first], i[first], sv
+
+        gr, gi, gv = merged(0)
+        ir, ii, iv = merged(2)
+        ur, ui, uv = expand(pr, 1, 1.0)
+        keep = np.abs(uv) > 1e-6
+        ur, ui, uv = ur[keep], ui[keep], uv[keep]
+
+        cnt = np.zeros((P, 3), np.int64)
+        cnt[:, 0] = np.bincount(gr, minlength=P)
+        cnt[:, 1] = np.bincount(ur, minlength=P)
+        cnt[:, 2] = np.bincount(ir, minlength=P)
+        row_ptr = np.zeros(3 * P + 1, np.int64)
+        np.cumsum(cnt.reshape(-1), out=row_ptr[1:])
+        index = np.zeros(int(row_ptr[-1]), np.uint32)
+        value = np.zeros(int(row_ptr[-1]), np.float32)
+        for s, (r, i, v) in enumerate(((gr, gi, gv), (ur, ui, uv), (ir, ii, iv))):
+            c = cnt[:, s]
+            starts = np.cumsum(c) - c  # first position of each pair's run
+            dest = np.repeat(row_ptr[3 * np.arange(P) + s] - starts, c) + np.arange(
+                len(r)
+            )
+            index[dest] = i
+            value[dest] = v
+        return CSRDataset(
+            labels=labels,
+            row_ptr=row_ptr.astype(np.int32),
+            index=index,
+            value=value,
+        )
+
+    def _gen_rows_ref(self, d: CSRDataset, pairs) -> CSRDataset:
         cfg = self.cfg
         labels_out: List[float] = []
         row_ptr = [0]

@@ -73,6 +73,11 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             "the base and SVD++ solvers; unset it for this solver"
         )
 
+    def _pallas_plus_ok(self, entry) -> bool:
+        # the whole-run Pallas kernel is plain SVD++ — it lacks the
+        # W_bi plugin terms; update_rounds falls to per-round epochs
+        return False
+
     def __init__(self, mtype):
         super().__init__(mtype)
         self.bparam = BParam()

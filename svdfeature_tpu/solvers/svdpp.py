@@ -45,6 +45,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         # as the base solver's batching).  1 = strict reference row order.
         self.rows_per_user = 1
         self._plus_sharded = {}
+        # one-ahead pair-epoch prefetch (PairSource): epoch e+1's host
+        # sampling + packing overlaps epoch e's device training
+        self._pair_pool = None
+        self._pair_future = None
+        self._pair_src = None
 
     def set_param(self, name: str, val: str) -> None:
         if name == "users_per_batch":
@@ -150,7 +155,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             return False
         from ..ops.pallas_svdpp import pallas_svdpp_supported
 
-        stacked, _, fb, _, _ = entry
+        stacked, fb = entry[0], entry[2]  # subclasses pack wider entries
         return pallas_svdpp_supported(
             self.hp, self.state, stacked, fb, self.model.off_user
         )
@@ -352,6 +357,34 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         stacked, chunk_id, fb, overlap = entry
         self._train_packed((stacked, chunk_id, fb, None, overlap))
 
+    def _pair_entry(self, ds):
+        """Packed entry for a fresh pair epoch, one-ahead overlapped.
+
+        The reference regenerates pairs inline per block on the training
+        thread (apex_svd_data.cpp:812-1025); serially that host work
+        dominates a TPU round, so epoch e+1's sampling + packing runs on
+        a producer thread while epoch e trains (jax dispatch is async —
+        the same overlap discipline as data/streaming.py).  Pair counts
+        are deterministic (data/rank.py), so shapes and the jit cache are
+        stable across epochs; the PairSource's rng is only ever advanced
+        on one thread at a time, preserving the sequential trajectory."""
+        if self._pair_pool is None:
+            import concurrent.futures
+
+            self._pair_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pairgen"
+            )
+        if self._pair_src == id(ds) and self._pair_future is not None:
+            entry = self._pair_future.result()
+        else:
+            entry = self._pack_plus(ds.epoch_dataset(), cache=False)
+        self._pair_src = id(ds)
+        # both the sampling and the packing run on the producer thread
+        self._pair_future = self._pair_pool.submit(
+            lambda: self._pack_plus(ds.epoch_dataset(), cache=False)
+        )
+        return entry
+
     def _stream_round_plus(self, ds) -> None:
         from ..data.streaming import stream_train_round_plus
 
@@ -384,7 +417,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self._stream_round_plus(ds)
             return
         if hasattr(ds, "epoch_dataset"):  # PairSource: fresh pairs per epoch
-            self._train_packed(self._pack_plus(ds.epoch_dataset(), cache=False))
+            self._train_packed(self._pair_entry(ds))
             return
         if not isinstance(ds, PlusDataset):
             return super().update_all(ds)

@@ -131,3 +131,43 @@ def test_tool_byte_parity_rank_buffer(tmp_path):
         "-scale_score", "1", "-max_block", "400",
     ])
     assert out.read_bytes() == ref.read_bytes()
+
+
+def test_gen_rows_vectorized_matches_ref():
+    """The vectorized pair-row synthesis is entry-for-entry identical to
+    the per-pair reference loop (_gen_rows_ref) — sorted-unique merge
+    order, zero-diff entries kept — across sampling methods and label
+    modes."""
+    import numpy as np
+
+    from svdfeature_tpu.data.registry import IteratorConfig
+    from svdfeature_tpu.data.rank import PairSource
+    from svdfeature_tpu.data.text import load_plus_text
+
+    rng = np.random.RandomState(4)
+    rows, fb = [], []
+    for u in range(12):
+        n = 3 + u % 4
+        items = rng.choice(30, n, replace=False)
+        for i in items:
+            # overlapping global ids force real diff merges (incl. zeros)
+            rows.append(
+                f"{rng.randint(0, 6)} 2 1 2 0:{rng.rand():.2f} 1:0.5 "
+                f"{u}:1 {i}:1 {rng.randint(0, 30)}:0.3"
+            )
+        fb.append(f"{n} 0")
+    ds = load_plus_text("x", "y", text="\n".join(rows), feedback_text="\n".join(fb))
+
+    for method, extra in [(0, {}), (1, {}), (0, {"rank_sample_num": 2})]:
+        cfg = IteratorConfig()
+        cfg.rank_sample_method = method
+        for k, v in extra.items():
+            setattr(cfg, k, v)
+        s1 = PairSource(ds, cfg, seed=7)
+        s2 = PairSource(ds, cfg, seed=7)
+        s2._gen_rows = s2._gen_rows_ref
+        d1, d2 = s1.epoch_dataset().rows, s2.epoch_dataset().rows
+        np.testing.assert_array_equal(d1.labels, d2.labels)
+        np.testing.assert_array_equal(d1.row_ptr, d2.row_ptr)
+        np.testing.assert_array_equal(d1.index, d2.index)
+        np.testing.assert_array_equal(d1.value, d2.value)
