@@ -161,6 +161,129 @@ def train_epoch_imfb(
     return state
 
 
+@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+def train_epoch_imfb_carried(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    fb_overlap,
+    disable_mask,  # [C, M+1] 1.0 = enabled
+    lr,
+    consts: TrainConsts,
+    hp: HyperParams,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+):
+    """train_epoch_imfb with pool work O(chunks), not O(batches).
+
+    The exact train_epoch_plus reformulation applied to the stacked-
+    context case: segments are the chunk's LOCAL CONTEXTS (fb_ctx slots)
+    instead of user blocks, so the pack-time overlap matrix is O[c,c'] =
+    sum_f val_cf * val_c'f over shared pool ids (compute_fb_overlap keyed
+    by fb_ctx), the carried per-context aggregates evolve as
+    ``fb_sum += O @ delta`` and the pool itself is touched twice per
+    chunk — one aggregate gather at entry, one accumulated scatter at
+    exit — replacing the per-batch O(F*k) refresh (_imfb_step).
+
+    Requires a disjoint feedback row range (common_feedback_space=0 —
+    the solver keeps the refresh epoch otherwise), so mid-chunk u/i row
+    updates never alias pool rows and the closed form stays exact.
+    Trajectory-identical to train_epoch_imfb by linearity of the
+    writeback (pinned by tests/test_side_solvers.py)."""
+    import dataclasses
+
+    from .svdpp import _row_update
+
+    T, G = stacked["label"].shape
+    k = state.w.shape[1]
+    nseg = disable_mask.shape[1]  # M + 1 (last = pad slot, always masked)
+    lr_fb = lr * scale_lr_ufeedback
+    d = 1.0 - lr_fb * wd_ufeedback
+    db = 1.0 - lr_fb * wd_ufeedback_bias
+    with_bias = not hp.no_user_bias
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), chunk_id[1:] != chunk_id[:-1]]
+    )
+
+    def flush(st, cid, dacc, dbacc):
+        cfb = jax.tree.map(lambda a: a[cid], fb)
+        from .svdpp import _fb_writeback
+
+        w, b = _fb_writeback(
+            st.w, st.b,
+            {"fb_idx": cfb["fb_idx"], "fb_val": cfb["fb_val"],
+             "fb_block": cfb["fb_ctx"]},
+            dacc, dbacc if with_bias else None, with_bias,
+        )
+        return dataclasses.replace(st, w=w, b=b)
+
+    def body(carry, xs):
+        st, pc, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = carry
+        batch, cid, first = xs
+
+        def on_boundary(op):
+            st, pc, dacc, dbacc = op
+            st = flush(st, pc, dacc, dbacc)
+            cfb = jax.tree.map(lambda a: a[cid], fb)
+            s, nrm, sb = _ctx_aggregates(st.w, st.b, cfb, nseg, with_bias)
+            inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+            return (
+                st, fb_overlap[cid], s, sb, nrm, inv,
+                jnp.zeros_like(dacc), jnp.zeros_like(dbacc),
+            )
+
+        def off_boundary(op):
+            st, pc, dacc, dbacc = op
+            return st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc
+
+        st, O, fb_sum, fb_bias, norm, inv, dacc, dbacc = jax.lax.cond(
+            first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
+        )
+        ctx = batch["ctx_slots"]  # [G, D]
+        p_u_extra = fb_sum[ctx].sum(axis=1)
+        bias_extra = fb_bias[ctx].sum(axis=1) if with_bias else None
+        st, err, p_i = _row_update(
+            st, batch, lr, consts, hp, p_u_extra, bias_extra
+        )
+        # per-context accumulation — identical math to _imfb_step
+        G_, D = ctx.shape
+        flat_ctx = ctx.reshape(-1)
+        S = jnp.zeros((nseg, k)).at[flat_ctx].add(
+            jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(G_ * D, k)
+        )
+        nrow = jnp.zeros((nseg,)).at[flat_ctx].add(
+            jnp.repeat(batch["weight"], D)
+        )
+        gate = disable_mask[cid] * jnp.where(norm > 0, 1.0, 0.0)
+        dtmp = (
+            fb_sum * (jnp.power(d, nrow) - 1.0)[:, None]
+            + lr_fb * norm[:, None] * S
+        )
+        delta = dtmp * (inv * gate)[:, None]
+        dacc = dacc + delta
+        fb_sum = fb_sum + O @ delta
+        if with_bias:
+            S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+            dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
+            delta_b = dtmp_b * inv * gate
+            dbacc = dbacc + delta_b
+            fb_bias = fb_bias + O @ delta_b
+        return (st, cid, O, fb_sum, fb_bias, norm, inv, dacc, dbacc), None
+
+    z = jnp.zeros((nseg, k), jnp.float32)
+    zb = jnp.zeros((nseg,), jnp.float32)
+    init = (
+        state, jnp.int32(0), jnp.zeros((nseg, nseg), jnp.float32),
+        z, zb, zb, zb, z, zb,
+    )
+    (state, last_cid, _, _, _, _, _, dacc, dbacc), _ = jax.lax.scan(
+        body, init, (stacked, chunk_id, is_first)
+    )
+    return flush(state, last_cid, dacc, dbacc)
+
+
 def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     """_imfb_step on the augmented big-table layout: row updates through
     big_embed._forward_entries/apply_entries (touched-rows-only reg, one

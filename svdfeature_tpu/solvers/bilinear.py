@@ -67,11 +67,24 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
     # to the small layout under common_feedback_space=1)
     SUPPORTS_BIG_TABLE = True
 
+    # mesh path: parallel/bilinear_mesh.py (standard slabs)
+    SUPPORTS_MESH_BIG = False
+
     def _init_mesh(self) -> None:
-        raise NotImplementedError(
-            "multi-chip training (mesh_data/mesh_model) is implemented for "
-            "the base and SVD++ solvers; unset it for this solver"
+        super()._init_mesh()
+        # row-shard W_bi over the model axis (padded, dummy last row)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.bilinear_mesh import pad_bi_rows
+
+        ni = self.mparam.num_item
+        self._n_bi_pad = pad_bi_rows(ni, self.mesh_model)
+        Wb = np.zeros((self._n_bi_pad, self.bparam.num_bi_feedback), np.float32)
+        Wb[:ni] = np.asarray(self.W_bi)
+        self.W_bi = jax.device_put(
+            Wb, NamedSharding(self._mesh, P("model", None))
         )
+
 
     def _pallas_plus_ok(self, entry) -> bool:
         # the whole-run Pallas kernel is plain SVD++ — it lacks the
@@ -115,7 +128,8 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
     def save_model(self, f: BinaryIO) -> None:
         super().save_model(f)
         f.write(self.bparam.to_bytes())
-        _write_t2d(f, np.asarray(self.W_bi))
+        # de-pad the mesh's row-sharded W_bi for the on-disk layout
+        _write_t2d(f, np.asarray(self.W_bi)[: self.mparam.num_item])
 
     # ---- packing: user-property matrix + filtered feedback pool -------------
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
@@ -168,6 +182,38 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 mask = (local[c] >= 0) & (local[c] < nbf) & (raw["fb_block"][c] < G)
                 if mask.any():
                     up[c, raw["fb_block"][c][mask], local[c][mask]] = raw["fb_val"][c][mask]
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+                host_arrays = packed.device_arrays()
+                host_arrays.pop("chunk_id", None)
+                G = host_arrays["label"].shape[1]
+                arrays, fbd, Gp, _ = pad_plus_for_mesh(
+                    host_arrays, fb, G, self.mesh_data, m.num_rows,
+                    m.param.num_global,
+                )
+                if Gp != G:  # widen the per-slot property matrix to Gp+1
+                    pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
+                    up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
+                sh = lambda v: NamedSharding(
+                    self._mesh,
+                    P(None, "data") if v.ndim == 2 else P(None, "data", None),
+                )
+                rep = NamedSharding(self._mesh, P())
+                entry = (
+                    {k: jax.device_put(v, sh(v)) for k, v in arrays.items()},
+                    jax.device_put(packed.chunk_id, rep),
+                    {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                    (packed.perm // G) * Gp + packed.perm % G,
+                    jax.device_put(up, rep),
+                    None,  # overlap unused on the mesh path (per-batch refresh)
+                )
+                if not cache:
+                    return entry
+                self._pack_cache[key] = entry
+                return self._pack_cache[key]
             entry = (
                 jax.device_put(packed.device_arrays()),
                 jax.device_put(packed.chunk_id),
@@ -183,6 +229,27 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
 
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, up, overlap = entry
+        if self._mesh is not None:
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            key = ("bi", G, F)
+            if key not in self._plus_sharded:
+                from ..parallel.bilinear_mesh import sharded_bilinear_rounds
+
+                self._plus_sharded[key] = sharded_bilinear_rounds(
+                    self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
+                    self.model.off_item, self.reg_bi_feedback,
+                    self.tparam.scale_lr_ufeedback,
+                    self.tparam.wd_ufeedback,
+                    self.tparam.wd_ufeedback_bias,
+                    self.slr_bi_feedback,
+                    self.wd_bi_feedback,
+                )
+            self.state, self.W_bi = self._plus_sharded[key](
+                self.state, self.W_bi, stacked, chunk_id, fb, up,
+                jnp.asarray([self.learning_rate], jnp.float32), self.consts,
+            )
+            return
         if self.model.param.common_feedback_space:
             # pool rows alias user rows: overlap closed form invalid,
             # refresh per batch
@@ -241,6 +308,23 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         else:
             return super(SVDPPFeatureTrainer, self).predict_all(ds)
         stacked, chunk_id, fb, perm, up, _ = entry
+        if self._mesh is not None:
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            key = ("bi-pred", G, F)
+            if key not in self._plus_sharded:
+                from ..parallel.bilinear_mesh import sharded_bilinear_predict
+
+                self._plus_sharded[key] = sharded_bilinear_predict(
+                    self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
+                    self.model.off_item,
+                )
+            preds = np.asarray(
+                self._plus_sharded[key](
+                    self.state, self.W_bi, stacked, chunk_id, fb, up
+                )
+            ).reshape(-1)
+            return preds[perm]
         preds = np.asarray(
             predict_batches_bi(
                 self.state_or_model(),

@@ -23,16 +23,18 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     # (ops/imfb.train_epoch_imfb_big): row updates via _forward_entries +
     # dedup writes, context writebacks via _fb_writeback_big keyed fb_ctx
     SUPPORTS_BIG_TABLE = True
-
-    def _init_mesh(self) -> None:
-        raise NotImplementedError(
-            "multi-chip training (mesh_data/mesh_model) is implemented for "
-            "the base and SVD++ solvers; unset it for this solver"
-        )
+    # mesh path: parallel/imfb_mesh.py (standard slabs; the augmented
+    # big-slab layout is not wired for it, same as SVD++)
+    SUPPORTS_MESH_BIG = False
 
     def __init__(self, mtype):
         super().__init__(mtype)
         self.disable_levels = set()
+
+    def _pallas_plus_ok(self, entry) -> bool:
+        # the whole-run Pallas kernel is plain SVD++ — it lacks the
+        # stacked-context terms; update_rounds falls to per-round epochs
+        return False
 
     def set_param(self, name: str, val: str) -> None:
         if name == "ufeedback_disable_level":
@@ -67,12 +69,57 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             for lvl in self.disable_levels:
                 enabled[:, :-1][depth == lvl] = 0.0
             enabled[:, :-1][depth < 0] = 0.0  # unused slots
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.imfb_mesh import pad_imfb_for_mesh
+
+                nseg = packed.ctx_depth.shape[1] + 1
+                host_arrays = packed.device_arrays()
+                host_arrays.pop("chunk_id", None)
+                fbd = {k: getattr(packed, k) for k in ("fb_idx", "fb_val", "fb_ctx")}
+                G = host_arrays["label"].shape[1]
+                arrays, fbd, Gp, _ = pad_imfb_for_mesh(
+                    host_arrays, fbd, G, self.mesh_data, m.num_rows,
+                    m.param.num_global, nseg,
+                )
+                sh = lambda v: NamedSharding(
+                    self._mesh,
+                    P(None, "data") if v.ndim == 2 else P(None, "data", None),
+                )
+                rep = NamedSharding(self._mesh, P())
+                entry = (
+                    {k: jax.device_put(v, sh(v)) for k, v in arrays.items()},
+                    jax.device_put(packed.chunk_id, rep),
+                    {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                    # remap dataset-row -> packed-slot for the padded G
+                    (packed.perm // G) * Gp + packed.perm % G,
+                    jax.device_put(enabled, rep),
+                    None,  # overlap unused on the mesh path
+                )
+                if not cache:
+                    return entry
+                self._pack_cache[key] = entry
+                return self._pack_cache[key]
+            overlap = None
+            if not m.param.common_feedback_space:
+                # closed-form carried aggregates need the per-chunk
+                # context-overlap matrices (keyed by fb_ctx slots)
+                from ..data.batching_plus import compute_fb_overlap
+
+                overlap = jax.device_put(
+                    compute_fb_overlap(
+                        packed.fb_idx, packed.fb_val, packed.fb_ctx,
+                        packed.ctx_depth.shape[1],
+                    )
+                )
             entry = (
                 jax.device_put(packed.device_arrays()),
                 jax.device_put(packed.chunk_id),
                 jax.device_put(packed.fb_arrays()),
                 packed.perm,
                 jax.device_put(enabled),
+                overlap,
             )
             if not cache:
                 return entry
@@ -80,12 +127,44 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         return self._pack_cache[key]
 
     def _train_packed(self, entry) -> None:
-        stacked, chunk_id, fb, _, enabled = entry
+        stacked, chunk_id, fb, _, enabled, overlap = entry
+        if self._mesh is not None:
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            nseg = enabled.shape[1]
+            key = ("imfb", G, F, nseg)
+            if key not in self._plus_sharded:
+                from ..parallel.imfb_mesh import sharded_imfb_rounds
+
+                self._plus_sharded[key] = sharded_imfb_rounds(
+                    self._mesh, self.hp, self._n_pad, G, F, nseg,
+                    self.tparam.scale_lr_ufeedback,
+                    self.tparam.wd_ufeedback,
+                    self.tparam.wd_ufeedback_bias,
+                )
+            self.state = self._plus_sharded[key](
+                self.state, stacked, chunk_id, fb, enabled,
+                jnp.asarray([self.learning_rate], jnp.float32), self.consts,
+            )
+            return
         if self.hp.big_table:
             from ..ops.imfb import train_epoch_imfb_big
 
             self.state = train_epoch_imfb_big(
                 self.state, stacked, chunk_id, fb, enabled,
+                jnp.float32(self.learning_rate), self.consts, self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+            )
+            return
+        if overlap is not None:
+            # disjoint feedback space: pool work O(chunks) via the
+            # carried closed form (ops/imfb.train_epoch_imfb_carried)
+            from ..ops.imfb import train_epoch_imfb_carried
+
+            self.state = train_epoch_imfb_carried(
+                self.state, stacked, chunk_id, fb, overlap, enabled,
                 jnp.float32(self.learning_rate), self.consts, self.hp,
                 self.tparam.scale_lr_ufeedback,
                 self.tparam.wd_ufeedback,
@@ -113,7 +192,23 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             entry = self._pack_plus(ds)
         else:
             return super(SVDPPFeatureTrainer, self).predict_all(ds)
-        stacked, chunk_id, fb, perm, _ = entry
+        stacked, chunk_id, fb, perm, enabled, _ = entry
+        if self._mesh is not None:
+            # sharded inference — tables stay row-sharded on the mesh
+            G = stacked["label"].shape[1]
+            F = fb["fb_idx"].shape[1]
+            nseg = enabled.shape[1]
+            key = ("imfb-pred", G, F, nseg)
+            if key not in self._plus_sharded:
+                from ..parallel.imfb_mesh import sharded_imfb_predict
+
+                self._plus_sharded[key] = sharded_imfb_predict(
+                    self._mesh, self.hp, self._n_pad, G, F, nseg
+                )
+            preds = np.asarray(
+                self._plus_sharded[key](self.state, stacked, chunk_id, fb)
+            ).reshape(-1)
+            return preds[perm]
         preds = np.asarray(
             predict_batches_imfb(self.state_or_model(), stacked, chunk_id, fb, self.hp)
         ).reshape(-1)

@@ -252,3 +252,142 @@ def test_bilinear_routes_big_table(monkeypatch, reg):
     np.testing.assert_allclose(
         np.asarray(tr2.model.w), np.asarray(tr1.model.w), rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("reg", [0, 4])
+def test_imfb_carried_matches_refresh(reg):
+    """train_epoch_imfb_carried (pool work O(chunks) via the context-
+    overlap closed form) is trajectory-identical to the per-batch
+    refresh epoch, including nested contexts and disable levels."""
+    import jax
+    import jax.numpy as jnp
+
+    from svdfeature_tpu.ops.imfb import train_epoch_imfb, train_epoch_imfb_carried
+
+    base = tiny_plus()
+    blocks = list(base.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
+                  extend_tag=TAG_END),
+    ] + blocks[2:]
+    ds = PlusDataset.from_blocks(nested)
+
+    tr = make(SVDPPMultiIMFBTrainer, reg_method=reg, wd_user=0.01,
+              wd_item=0.01)
+    tr.set_param("ufeedback_disable_level", "1")
+    tr.init_model()
+    tr.init_trainer()
+    stacked, chunk_id, fb, _, enabled, overlap = tr._pack_plus(ds)
+    assert overlap is not None
+    args = (jnp.float32(0.01), tr.consts, tr.hp,
+            tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+            tr.tparam.wd_ufeedback_bias)
+    st1 = jax.tree.map(jnp.copy, tr.state)
+    st2 = jax.tree.map(jnp.copy, tr.state)
+    for _ in range(3):
+        st1 = train_epoch_imfb(st1, stacked, chunk_id, fb, enabled, *args)
+        st2 = train_epoch_imfb_carried(
+            st2, stacked, chunk_id, fb, overlap, enabled, *args
+        )
+    np.testing.assert_allclose(
+        np.asarray(st1.w), np.asarray(st2.w), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.b), np.asarray(st2.b), rtol=1e-4, atol=1e-6
+    )
+    assert int(st1.step) == int(st2.step)
+    if reg >= 4:
+        np.testing.assert_array_equal(
+            np.asarray(st1.ref_ui), np.asarray(st2.ref_ui)
+        )
+
+
+def test_imfb_mesh_matches_single_device():
+    """Multi-IMFB on a (2x2) mesh (parallel/imfb_mesh.py) matches the
+    single-device trainer — model weights, biases and predictions —
+    including nested contexts and a disabled stack level (the reference
+    trains extend_type=2 like any other solver, apex_multi_imfb.h:31-194)."""
+    import jax
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("not enough devices")
+    base = tiny_plus()
+    blocks = list(base.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
+                  extend_tag=TAG_END),
+    ] + blocks[2:]
+    ds = PlusDataset.from_blocks(nested)
+
+    def run(extra):
+        tr = make(SVDPPMultiIMFBTrainer, wd_user=0.01, wd_item=0.01, **extra)
+        tr.set_param("ufeedback_disable_level", "1")
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    single = run({})
+    meshed = run(dict(mesh_data=2, mesh_model=2))
+    single._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(single.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.b), np.asarray(single.model.b),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        meshed.predict_all(ds), single.predict_all(ds), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("reg", [0, 2, 5])
+def test_bilinear_mesh_matches_single_device(reg):
+    """Bilinear on a (2x2) mesh (parallel/bilinear_mesh.py) matches the
+    single-device trainer — weights, W_bi and predictions — across W_bi
+    reg modes (the reference trains extend_type=15 like any other solver,
+    apex_svd_bilinear.h:28-212)."""
+    import jax
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("not enough devices")
+    ds = tiny_plus()
+    kw = dict(num_bi_feedback=10, wd_bi_feedback=0.01, reg_bi_feedback=reg,
+              start_ufeedback=2)
+
+    def run(extra):
+        tr = make(SVDBiLinearTrainer, **kw, **extra)
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    single = run({})
+    meshed = run(dict(mesh_data=2, mesh_model=2))
+    single._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(single.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.W_bi)[: meshed.mparam.num_item],
+        np.asarray(single.W_bi), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        meshed.predict_all(ds), single.predict_all(ds), rtol=1e-4, atol=1e-5
+    )
+    # checkpoint bytes identical (mesh W_bi de-padded on save)
+    import io as _io
+
+    b1, b2 = _io.BytesIO(), _io.BytesIO()
+    single.save_model(b1)
+    meshed.save_model(b2)
+    assert len(b1.getvalue()) == len(b2.getvalue())
