@@ -132,6 +132,41 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         _write_t2d(f, np.asarray(self.W_bi)[: self.mparam.num_item])
 
     # ---- packing: user-property matrix + filtered feedback pool -------------
+    def _bi_extras(self, packed):
+        """(filtered fb, up, overlap) from a packed plus chunk.
+
+        start_ufeedback filter for the factor path: zero the values of
+        filtered entries (they stay in the pool but contribute nothing
+        and receive no writeback since delta scales by their value); the
+        overlap closed form must reflect the FILTERED pool.  ``up`` is
+        the dense per-slot user-property matrix [C, G+1, nbf] built from
+        the RAW pool values."""
+        m = self.model
+        fb = packed.fb_arrays()
+        start = self.bparam.start_ufeedback
+        overlap = packed.fb_overlap
+        if start > 0:
+            local = fb["fb_idx"] - m.off_ufeedback
+            keep = local >= start
+            fb = dict(fb, fb_val=np.where(keep, fb["fb_val"], 0.0).astype(np.float32))
+            from ..data.batching_plus import compute_fb_overlap
+
+            overlap = compute_fb_overlap(
+                fb["fb_idx"], fb["fb_val"], fb["fb_block"],
+                packed.num_blocks_local,
+            )
+        nbf = self.bparam.num_bi_feedback
+        C, F = packed.fb_idx.shape
+        G = packed.num_blocks_local
+        up = np.zeros((C, G + 1, nbf), np.float32)
+        raw = packed.fb_arrays()
+        local = raw["fb_idx"].astype(np.int64) - m.off_ufeedback
+        for c in range(C):
+            mask = (local[c] >= 0) & (local[c] < nbf) & (raw["fb_block"][c] < G)
+            if mask.any():
+                up[c, raw["fb_block"][c][mask], local[c][mask]] = raw["fb_val"][c][mask]
+        return fb, up, overlap
+
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         if self.rows_per_user > 1:
             raise NotImplementedError(
@@ -154,34 +189,8 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
             )
-            fb = packed.fb_arrays()
-            # start_ufeedback filter for the factor path: zero the values of
-            # filtered entries (they stay in the pool but contribute nothing
-            # and receive no writeback since delta scales by their value)
-            start = self.bparam.start_ufeedback
-            overlap = packed.fb_overlap
-            if start > 0:
-                local = fb["fb_idx"] - m.off_ufeedback
-                keep = local >= start
-                fb = dict(fb, fb_val=np.where(keep, fb["fb_val"], 0.0).astype(np.float32))
-                # the overlap closed form must reflect the FILTERED pool
-                from ..data.batching_plus import compute_fb_overlap
-
-                overlap = compute_fb_overlap(
-                    fb["fb_idx"], fb["fb_val"], fb["fb_block"],
-                    packed.num_blocks_local,
-                )
-            # dense user-property matrix per chunk slot: up[c, g, pid]
+            fb, up, overlap = self._bi_extras(packed)
             nbf = self.bparam.num_bi_feedback
-            C, F = packed.fb_idx.shape
-            G = packed.num_blocks_local
-            up = np.zeros((C, G + 1, nbf), np.float32)
-            raw = packed.fb_arrays()
-            local = raw["fb_idx"].astype(np.int64) - m.off_ufeedback
-            for c in range(C):
-                mask = (local[c] >= 0) & (local[c] < nbf) & (raw["fb_block"][c] < G)
-                if mask.any():
-                    up[c, raw["fb_block"][c][mask], local[c][mask]] = raw["fb_val"][c][mask]
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -226,6 +235,66 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 return entry
             self._pack_cache[key] = entry
         return self._pack_cache[key]
+
+    # ---- streaming (out-of-core user-group buffers) -----------------------
+    def pack_plus_chunk(self, chunk: PlusDataset, caps: dict):
+        """Pack one streamed user-group chunk with the bilinear extras
+        (filtered pool, per-slot property matrix, filtered overlap) at
+        the stream's stable shapes."""
+        m = self.model
+        caps = dict(caps)
+        caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
+        packed = pack_plus(
+            chunk,
+            self.users_per_batch,
+            m.num_rows,
+            m.param.num_global,
+            m.off_user,
+            m.off_item,
+            m.off_ufeedback,
+            feat_user=self.feat_user,
+            feat_item=self.feat_item,
+            num_user=m.param.num_user,
+            num_item=m.param.num_item,
+            num_ufeedback=m.param.num_ufeedback,
+            **caps,
+        )
+        fb, up, overlap = self._bi_extras(packed)
+        arrays = packed.device_arrays()
+        if self._mesh is not None:
+            from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+            arrays.pop("chunk_id", None)
+            G = packed.num_blocks_local
+            arrays, fb, Gp, _ = pad_plus_for_mesh(
+                arrays, fb, G, self.mesh_data, m.num_rows, m.param.num_global
+            )
+            if Gp != G:
+                nbf = self.bparam.num_bi_feedback
+                pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
+                up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
+        return (arrays, packed.chunk_id, fb, up, overlap)
+
+    def stage_chunk_plus(self, entry):
+        stacked, chunk_id, fb, up, overlap = entry
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import put_process_sharded
+
+            rep = NamedSharding(self._mesh, P())
+            return (
+                put_process_sharded(stacked, self._mesh),
+                jax.device_put(chunk_id, rep),
+                {k: jax.device_put(v, rep) for k, v in fb.items()},
+                jax.device_put(up, rep),
+                None,  # overlap unused on the mesh path
+            )
+        return jax.device_put(entry)
+
+    def train_chunk_plus(self, entry) -> None:
+        stacked, chunk_id, fb, up, overlap = entry
+        self._train_packed((stacked, chunk_id, fb, None, up, overlap))
 
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, up, overlap = entry
@@ -301,6 +370,8 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         )
 
     def predict_all(self, ds) -> np.ndarray:
+        if hasattr(ds, "plan_caps"):  # streaming source: bounded-memory eval
+            return self._predict_streamed_bi(ds)
         if hasattr(ds, "epoch_dataset"):
             entry = self._pack_plus(ds.epoch_dataset(), cache=False)
         elif isinstance(ds, PlusDataset):
@@ -338,3 +409,78 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             )
         ).reshape(-1)
         return preds[perm]
+
+    def _predict_streamed_bi(self, ds) -> np.ndarray:
+        """Bounded-memory streamed eval with the bilinear extras; mirrors
+        SVDPPFeatureTrainer.predict_all's plan_caps branch."""
+        m = self.model
+        caps = dict(ds.plan_caps(self.users_per_batch, 1))
+        caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
+        st = None if self._mesh is not None else self.state_or_model()
+        out = []
+        for chunk in ds.chunks():
+            packed = pack_plus(
+                chunk,
+                self.users_per_batch,
+                m.num_rows,
+                m.param.num_global,
+                m.off_user,
+                m.off_item,
+                m.off_ufeedback,
+                feat_user=self.feat_user,
+                feat_item=self.feat_item,
+                num_user=m.param.num_user,
+                num_item=m.param.num_item,
+                num_ufeedback=m.param.num_ufeedback,
+                **caps,
+            )
+            fb, up, _ = self._bi_extras(packed)
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import put_process_sharded
+                from ..parallel.svdpp_mesh import pad_plus_for_mesh
+
+                arrays = packed.device_arrays()
+                arrays.pop("chunk_id", None)
+                G = packed.num_blocks_local
+                arrays, fbd, Gp, Fp = pad_plus_for_mesh(
+                    arrays, fb, G, self.mesh_data, m.num_rows,
+                    m.param.num_global,
+                )
+                if Gp != G:
+                    nbf = self.bparam.num_bi_feedback
+                    pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
+                    up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
+                key = ("bi-pred", Gp, Fp)
+                if key not in self._plus_sharded:
+                    from ..parallel.bilinear_mesh import sharded_bilinear_predict
+
+                    self._plus_sharded[key] = sharded_bilinear_predict(
+                        self._mesh, self.hp, self._n_pad, self._n_bi_pad,
+                        Gp, Fp, self.model.off_item,
+                    )
+                rep = NamedSharding(self._mesh, P())
+                preds = self._plus_sharded[key](
+                    self.state,
+                    self.W_bi,
+                    put_process_sharded(arrays, self._mesh),
+                    jax.device_put(packed.chunk_id, rep),
+                    {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                    jax.device_put(up, rep),
+                )
+                if jax.process_count() > 1:
+                    from jax.experimental.multihost_utils import process_allgather
+
+                    preds = process_allgather(preds, tiled=True)
+                perm = (packed.perm // G) * Gp + packed.perm % G
+                out.append(np.asarray(preds).reshape(-1)[perm])
+                continue
+            preds = np.asarray(
+                predict_batches_bi(
+                    st, self.W_bi, packed.device_arrays(), packed.chunk_id,
+                    fb, up, self.hp, self.model.off_item,
+                )
+            ).reshape(-1)
+            out.append(preds[packed.perm])
+        return np.concatenate(out) if out else np.zeros(0, np.float32)

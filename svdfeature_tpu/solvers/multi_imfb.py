@@ -36,6 +36,14 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         # stacked-context terms; update_rounds falls to per-round epochs
         return False
 
+    def _stream_round_plus(self, ds) -> None:
+        raise NotImplementedError(
+            "streaming=1 is not implemented for the multi-IMFB solver: "
+            "the stream's cap pre-scan does not bound stacked-context "
+            "counts per chunk (pack_imfb has no cap-stable streamed "
+            "form); stage the dataset (streaming=0)"
+        )
+
     def set_param(self, name: str, val: str) -> None:
         if name == "ufeedback_disable_level":
             self.disable_levels.add(int(val))

@@ -529,3 +529,83 @@ def test_stream_chunk_rounds_to_batch_multiple(tmp_path):
     np.testing.assert_allclose(
         np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
     )
+
+
+def test_bilinear_streamed_matches_staged(tmp_path):
+    """streaming=1 for the bilinear solver (filtered pool + property
+    matrix packed per chunk) matches the staged trainer, single-device
+    and on a (2x2) mesh."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+    from svdfeature_tpu.solvers.bilinear import SVDBiLinearTrainer
+
+    pds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+
+    def run(source, extra=None):
+        tr = SVDBiLinearTrainer(SVDTypeParam(format_type=1, extend_type=15))
+        p = dict(
+            num_user=12, num_item=30, num_factor=8, base_score=3,
+            learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+            num_ufeedback=30, wd_ufeedback=0.004, users_per_batch=4,
+            num_bi_feedback=10, wd_bi_feedback=0.01, start_ufeedback=2,
+        )
+        p.update(extra or {})
+        for k, v in p.items():
+            tr.set_param(k, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(source)
+        return tr
+
+    staged = run(pds)
+    streamed = run(StreamingPlusBuffer(path, blocks_per_chunk=4))
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed.W_bi), np.asarray(staged.W_bi), atol=1e-6
+    )
+    got = streamed.predict_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+    want = staged.predict_all(pds)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    if _cpu_devices(4) is not None:
+        meshed = run(
+            StreamingPlusBuffer(path, blocks_per_chunk=4),
+            dict(mesh_data=2, mesh_model=2),
+        )
+        meshed._sync_model_from_state()
+        np.testing.assert_allclose(
+            np.asarray(meshed.model.w), np.asarray(staged.model.w),
+            rtol=1e-4, atol=1e-5,
+        )
+        got = meshed.predict_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_imfb_streaming_clear_error(tmp_path):
+    """multi-IMFB x streaming refuses with a clear message instead of a
+    shape crash."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
+    pds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    tr = SVDPPMultiIMFBTrainer(SVDTypeParam(format_type=1, extend_type=2))
+    for k, v in dict(
+        num_user=12, num_item=30, num_factor=8, base_score=3,
+        learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        num_ufeedback=30, wd_ufeedback=0.004,
+    ).items():
+        tr.set_param(k, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    with pytest.raises(NotImplementedError, match="multi-IMFB"):
+        tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
