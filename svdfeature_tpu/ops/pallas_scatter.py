@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 # the scalar core issues the next descriptors.
 NBUF = 16
 
+# Scalar-prefetch operands live in SMEM (1 MiB/core on v5e).  A single
+# call's index operand must fit with room to spare — at KDD-scale batch
+# sizes (bench.py B=2^19 -> E=2^20 entries) one int32 index array alone
+# is 4 MiB and the compile fails with "would exceed memory (space=smem)".
+# The wrappers below therefore split large calls into slices of at most
+# EMAX rows (512 KiB of int32 each); slices chain through the aliased
+# table inside one jit, so this costs only kernel-issue overhead.
+EMAX = 131_072
+
 
 def _writer_kernel(idx_ref, vals_ref, w_in, w_out, sems):
     """For j in [E): DMA vals[j] -> w[idx[j]].  w_in is aliased to w_out
@@ -63,10 +72,7 @@ def _writer_kernel(idx_ref, vals_ref, w_in, w_out, sems):
     jax.lax.fori_loop(0, NBUF, drain, 0)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def row_writer(w: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
-    """w[idx[j]] = vals[j] in place.  idx must be unique apart from a
-    dummy row receiving only zeros.  Returns the (aliased) table."""
+def _row_writer_one(w: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
     n, k = w.shape
     return pl.pallas_call(
         _writer_kernel,
@@ -86,6 +92,20 @@ def row_writer(w: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
         input_output_aliases={2: 0},  # (idx, vals, w) -> w aliased in place
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx, vals, w)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def row_writer(w: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    """w[idx[j]] = vals[j] in place.  idx must be unique apart from a
+    dummy row receiving only zeros.  Returns the (aliased) table.
+
+    Calls above EMAX rows are split into SMEM-sized slices (see EMAX);
+    slices target disjoint row sets (apart from the zero-write dummy
+    row), so chaining them through the aliased table is exact."""
+    (e,) = idx.shape
+    for s in range(0, e, EMAX):
+        w = _row_writer_one(w, idx[s : s + EMAX], vals[s : s + EMAX])
+    return w
 
 
 def _reader_kernel(idx_ref, w_ref, out_ref, sems):
@@ -118,9 +138,7 @@ def _reader_kernel(idx_ref, w_ref, out_ref, sems):
     jax.lax.fori_loop(0, NBUF, drain, 0)
 
 
-@jax.jit
-def row_reader(w: jax.Array, idx: jax.Array) -> jax.Array:
-    """out[j] = w[idx[j]] via per-row DMA (HBM->HBM)."""
+def _row_reader_one(w: jax.Array, idx: jax.Array) -> jax.Array:
     n, k = w.shape
     (e,) = idx.shape
     return pl.pallas_call(
@@ -135,3 +153,15 @@ def row_reader(w: jax.Array, idx: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((e, k), w.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx, w)
+
+
+@jax.jit
+def row_reader(w: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[j] = w[idx[j]] via per-row DMA (HBM->HBM).  Split into
+    SMEM-sized slices above EMAX rows (see EMAX)."""
+    (e,) = idx.shape
+    if e <= EMAX:
+        return _row_reader_one(w, idx)
+    return jnp.concatenate(
+        [_row_reader_one(w, idx[s : s + EMAX]) for s in range(0, e, EMAX)]
+    )
