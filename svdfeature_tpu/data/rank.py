@@ -42,32 +42,96 @@ class PairSource:
         self.rng = np.random.RandomState(seed)
         self.blocks = merge_split_blocks(inner)
         self.rows = inner.rows
+        # whole-epoch synthesis operands (epoch_dataset fast path): one
+        # concatenated row CSR + per-block row offsets, and the epoch-
+        # invariant feedback pool laid out once
+        self._rows_cat = CSRDataset.concat([b.data for b in self.blocks])
+        sizes = np.array([b.data.num_row for b in self.blocks], np.int64)
+        self._row_starts = np.cumsum(sizes) - sizes
+        self._fb_index = (
+            np.concatenate([b.fb_index for b in self.blocks])
+            if self.blocks else np.zeros(0, np.uint32)
+        )
+        self._fb_value = (
+            np.concatenate([b.fb_value for b in self.blocks])
+            if self.blocks else np.zeros(0, np.float32)
+        )
+        nf = np.array([b.num_ufeedback for b in self.blocks], np.int64)
+        self._block_fb_ptr = np.concatenate([[0], np.cumsum(nf)]).astype(np.int32)
+
+    def _sample_block(self, labels):
+        """One block's (pos_row, neg_row) sample arrays — block-local ids.
+        rng call order matches the reference exactly (neg permuted before
+        pos, no rng touch on empty blocks, apex_svd_data.cpp:897-918)."""
+        cfg = self.cfg
+        if cfg.rank_sample_method == 0:
+            pos_ids = np.nonzero(labels - cfg.pos_sample_lowerb > -1e-6)[0]
+            neg_ids = np.nonzero(labels - cfg.neg_sample_upperb < 1e-6)[0]
+            if len(pos_ids) == 0 or len(neg_ids) == 0:
+                return (np.zeros(0, np.int64),) * 2
+            neg_ids = self.rng.permutation(neg_ids)
+            pos_ids = self.rng.permutation(pos_ids)
+            snum = len(neg_ids) if cfg.rank_sample_num < 0 else cfg.rank_sample_num
+            snum = min(snum, cfg.rank_sample_max)
+            # cyclic fill == (i % len) pairing of the two permutations
+            return (
+                np.resize(pos_ids, snum).astype(np.int64),
+                np.resize(neg_ids, snum).astype(np.int64),
+            )
+        elif cfg.rank_sample_method == 1:
+            pairs = self._sample_cmp(labels)
+            if not pairs:
+                return (np.zeros(0, np.int64),) * 2
+            arr = np.asarray(pairs, np.int64)
+            return arr[:, 0], arr[:, 1]
+        raise ValueError("unknown rank sample method")
 
     def epoch_dataset(self) -> PlusDataset:
         cfg = self.cfg
-        out_blocks: List[PlusBlock] = []
-        for blk in self.blocks:
-            d = blk.data
-            labels = d.labels
-            if cfg.rank_sample_method == 0:
-                pos_ids = np.nonzero(labels - cfg.pos_sample_lowerb > -1e-6)[0]
-                neg_ids = np.nonzero(labels - cfg.neg_sample_upperb < 1e-6)[0]
-                if len(pos_ids) == 0 or len(neg_ids) == 0:
-                    pairs = []
-                else:
-                    neg_ids = self.rng.permutation(neg_ids)
-                    pos_ids = self.rng.permutation(pos_ids)
-                    snum = len(neg_ids) if cfg.rank_sample_num < 0 else cfg.rank_sample_num
-                    snum = min(snum, cfg.rank_sample_max)
-                    pairs = [
-                        (pos_ids[i % len(pos_ids)], neg_ids[i % len(neg_ids)])
-                        for i in range(snum)
-                    ]
-            elif cfg.rank_sample_method == 1:
-                pairs = self._sample_cmp(labels)
-            else:
-                raise ValueError("unknown rank sample method")
+        # legacy per-block path: pointwise emission or a test-overridden
+        # per-block _gen_rows
+        if cfg.rank_sample_pointwise or "_gen_rows" in self.__dict__:
+            return self._epoch_dataset_blocks()
+        # fast path: sample per block (sequential rng), synthesize every
+        # pair row of the epoch in ONE vectorized pass over the whole CSR
+        prs: List[np.ndarray] = []
+        nrs: List[np.ndarray] = []
+        counts = np.zeros(len(self.blocks), np.int64)
+        for b, blk in enumerate(self.blocks):
+            r0 = self._row_starts[b]
+            n = blk.data.num_row
+            pr, nr = self._sample_block(self._rows_cat.labels[r0 : r0 + n])
+            counts[b] = len(pr)
+            if len(pr):
+                prs.append(pr + r0)
+                nrs.append(nr + r0)
+        if prs:
+            pr = np.concatenate(prs)
+            nr = np.concatenate(nrs)
+            rows = self._gen_rows_arrays(self._rows_cat, pr, nr)
+        else:
+            rows = CSRDataset(
+                labels=np.zeros(0, np.float32),
+                row_ptr=np.zeros(1, np.int32),
+                index=np.zeros(0, np.uint32),
+                value=np.zeros(0, np.float32),
+            )
+        block_row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return PlusDataset(
+            rows=rows,
+            fb_index=self._fb_index,
+            fb_value=self._fb_value,
+            block_row_ptr=block_row_ptr,
+            block_fb_ptr=self._block_fb_ptr,
+            extend_tag=np.zeros(len(self.blocks), np.int8),
+        )
 
+    def _epoch_dataset_blocks(self) -> PlusDataset:
+        out_blocks: List[PlusBlock] = []
+        for b, blk in enumerate(self.blocks):
+            d = blk.data
+            pr, nr = self._sample_block(d.labels)
+            pairs = list(zip(pr.tolist(), nr.tolist()))
             rows = self._gen_rows(d, pairs)
             out_blocks.append(
                 PlusBlock(
@@ -110,6 +174,13 @@ class PairSource:
         P = len(pairs)
         pr = np.fromiter((p for p, _ in pairs), np.int64, P)
         nr = np.fromiter((n for _, n in pairs), np.int64, P)
+        return self._gen_rows_arrays(d, pr, nr)
+
+    def _gen_rows_arrays(self, d: CSRDataset, pr, nr) -> CSRDataset:
+        """Array-operand core of _gen_rows: works on any CSR row space, so
+        the whole epoch (all blocks) synthesizes in one call."""
+        cfg = self.cfg
+        P = len(pr)
         rp = d.row_ptr.astype(np.int64)
         idx_all, val_all = d.index, d.value
         if cfg.rank_sample_method // 10 == 0:

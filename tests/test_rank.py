@@ -171,3 +171,68 @@ def test_gen_rows_vectorized_matches_ref():
         np.testing.assert_array_equal(d1.row_ptr, d2.row_ptr)
         np.testing.assert_array_equal(d1.index, d2.index)
         np.testing.assert_array_equal(d1.value, d2.value)
+
+
+def _mini_rank_trainer(extra=()):
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1, active_type=3))
+    for k, v in [
+        ("learning_rate", "0.01"), ("wd_user", "0.004"), ("wd_item", "0.004"),
+        ("num_user", "12"), ("num_item", "30"), ("num_global", "6"),
+        ("num_factor", "8"), ("num_ufeedback", "30"), ("wd_ufeedback", "0.004"),
+        ("no_user_bias", "1"),
+    ] + list(extra):
+        tr.set_param(k, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    return tr
+
+
+def _skewed_pair_ds(seed=4):
+    rng = np.random.RandomState(seed)
+    rows, fb = [], []
+    for u in range(12):
+        n = 2 + (7 * (u % 5))  # skewed block sizes: 2..30 rows
+        items = rng.choice(30, min(n, 30), replace=False)
+        for i in items:
+            # learnable signal: low item ids are the positives everywhere
+            rows.append(f"{float(1 if i < 15 else 0)} 1 1 1 0:0.5 {u}:1 {i}:1")
+        fb.append(f"{len(items)} 0")
+    return load_plus_text("x", "y", text="\n".join(rows), feedback_text="\n".join(fb))
+
+
+def test_pair_dense_layout_defaults():
+    """PairSource training defaults to the dense layout (users sorted by
+    pair count, rank_rows_per_user pairs per user per step), shrinking the
+    scan length; explicit sort_blocks=/rows_per_user= keys win."""
+    ds = _skewed_pair_ds()
+    cfg = IteratorConfig()
+
+    tr = _mini_rank_trainer([("users_per_batch", "4"), ("rank_rows_per_user", "4")])
+    tr._apply_pair_layout()
+    assert tr.sort_blocks == 1 and tr.rows_per_user == 4
+    dense = tr._pack_plus(PairSource(ds, cfg, seed=9).epoch_dataset(), cache=False)
+
+    tr2 = _mini_rank_trainer(
+        [("users_per_batch", "4"), ("sort_blocks", "0"), ("rows_per_user", "1")]
+    )
+    tr2._apply_pair_layout()
+    assert tr2.sort_blocks == 0 and tr2.rows_per_user == 1
+    strict = tr2._pack_plus(PairSource(ds, cfg, seed=9).epoch_dataset(), cache=False)
+
+    T_dense, T_strict = dense[0]["label"].shape[0], strict[0]["label"].shape[0]
+    assert T_dense < T_strict  # skew makes the dense layout strictly shorter
+    # same pair multiset trains either way: weights count real rows
+    assert float(dense[0]["weight"].sum()) == float(strict[0]["weight"].sum())
+
+
+def test_pair_dense_layout_trains():
+    """A few dense-layout rounds learn the pair ordering (sanity: the
+    full-horizon P@20 gate is tests/test_golden_full.py)."""
+    ds = _skewed_pair_ds()
+    tr = _mini_rank_trainer([("users_per_batch", "4")])
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    tr.update_rounds(src, 15)
+    p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
+    assert np.mean(p > 0.5) > 0.9
