@@ -291,10 +291,12 @@ def child_main(results_path: str) -> None:
         print(f"WARNING: multiIMFB bench failed: {e}", file=sys.stderr)
 
     # ---- pairwiseRank (PairSource + SIGMOID_RANK) --------------------------
-    # Pair resampling runs one epoch ahead on a producer thread
-    # (solvers/svdpp._pair_entry) so the device-side training is what's
-    # timed; pair counts are deterministic so shapes stay stable.  P@20
-    # parity is gated by tests/test_golden_full.py (slow suite).
+    # Skeleton pair epochs (solvers/svdpp._train_pair_round): the packed
+    # layout is epoch-invariant, so each round ships only the sampled
+    # (pos_row, neg_row) planes, resampled one round ahead on a producer
+    # thread; assembly + the epoch run in one Pallas dispatch.  P@20
+    # parity is gated by tests/test_golden_full.py (slow suite) and was
+    # confirmed on-device (scripts/bench_rank_device.py).
     def bench_rank():
         from svdfeature_tpu.data.rank import PairSource
         from svdfeature_tpu.data.registry import IteratorConfig

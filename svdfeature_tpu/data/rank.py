@@ -86,14 +86,11 @@ class PairSource:
             return arr[:, 0], arr[:, 1]
         raise ValueError("unknown rank sample method")
 
-    def epoch_dataset(self) -> PlusDataset:
-        cfg = self.cfg
-        # legacy per-block path: pointwise emission or a test-overridden
-        # per-block _gen_rows
-        if cfg.rank_sample_pointwise or "_gen_rows" in self.__dict__:
-            return self._epoch_dataset_blocks()
-        # fast path: sample per block (sequential rng), synthesize every
-        # pair row of the epoch in ONE vectorized pass over the whole CSR
+    def epoch_pairs(self):
+        """One epoch's (pos_row, neg_row) sample in whole-dataset row ids,
+        plus per-block pair counts (deterministic across epochs).  Advances
+        the rng exactly like epoch_dataset — the two are interchangeable
+        views of the same sample stream."""
         prs: List[np.ndarray] = []
         nrs: List[np.ndarray] = []
         counts = np.zeros(len(self.blocks), np.int64)
@@ -106,8 +103,19 @@ class PairSource:
                 prs.append(pr + r0)
                 nrs.append(nr + r0)
         if prs:
-            pr = np.concatenate(prs)
-            nr = np.concatenate(nrs)
+            return np.concatenate(prs), np.concatenate(nrs), counts
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), counts
+
+    def epoch_dataset(self) -> PlusDataset:
+        cfg = self.cfg
+        # legacy per-block path: pointwise emission or a test-overridden
+        # per-block _gen_rows
+        if cfg.rank_sample_pointwise or "_gen_rows" in self.__dict__:
+            return self._epoch_dataset_blocks()
+        # fast path: sample per block (sequential rng), synthesize every
+        # pair row of the epoch in ONE vectorized pass over the whole CSR
+        pr, nr, counts = self.epoch_pairs()
+        if len(pr):
             rows = self._gen_rows_arrays(self._rows_cat, pr, nr)
         else:
             rows = CSRDataset(

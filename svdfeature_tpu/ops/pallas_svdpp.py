@@ -78,7 +78,10 @@ def pallas_svdpp_supported(hp, state, stacked, fb, off_user: int) -> bool:
                                losses.SIGMOID_LIKELIHOOD, losses.SIGMOID_RANK,
                                losses.SIGMOID_QSGRAD)
         and stacked["u_idx"].shape[-1] == 1
-        and stacked["i_idx"].shape[-1] == 1
+        # item width 2 = pairwise-rank difference rows ([pos, neg] with
+        # values [+v, -v]); forward sums the per-column factor gathers,
+        # scatter sums the per-column payloads
+        and stacked["i_idx"].shape[-1] in (1, 2)
         and stacked["g_idx"].shape[-1] == 1
         and state.g.shape[0] == 1  # no global features
         and _round_up(n, 128) * k * 4 <= PALLAS_VMEM_TABLE_BYTES
@@ -91,40 +94,46 @@ def pallas_svdpp_supported(hp, state, stacked, fb, off_user: int) -> bool:
 
 
 def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
-                 AU, WU, AI, WI):
+                 AU, WU, AI, WI, SI=1):
     """B = GS = G*M slots per cell; NP = padded table rows; Gp = padded
     G+1 segments; Fp = padded pool entries per chunk; Nfb = padded
     feedback-slab rows; [AU, AU+WU) / [AI, AI+WI) = 128-aligned windows
-    covering the user / item slabs."""
+    covering the user / item slabs; SI = item entries per slot (2 for
+    pairwise-rank difference rows: [pos, neg] with values [+v, -v])."""
     at = hp.active_type
     with_user_bias = not hp.no_user_bias
     NT = Fp // FB_TILE
     kb = k + 1  # factor cols + bias col
 
-    def kernel(
-        # scalar prefetch
-        lrs_ref,            # [R] per-round lr
-        lbu_ref, lbi_ref,   # [R] log(1-lr_r*wd_bias)
-        logd_ref, logdb_ref,  # [R] log(d), log(db) feedback decay
-        lrfb_ref,           # [R] lr_fb = lr_r * scale_lr_ufeedback
-        cid_ref,            # [T] chunk id per step
-        pcid_ref,           # [T] chunk id of step t-1 (t=0 -> chunk of T-1)
-        # batch blocks
-        u_idx_ref, u_val_ref, i_idx_ref, i_val_ref, label_ref, weight_ref,
-        # per-round row-decay log tables (windows of [R, NP, 1])
-        lu_ref, li_ref,
-        # current chunk pool [1, Fp] + overlap [1, Gp, Gp]
-        fbi_ref, fbv_ref, fbb_ref, O_ref,
-        # previous chunk pool [1, Fp] (for the boundary flush)
-        pfbi_ref, pfbv_ref, pfbb_ref,
-        # tables in/out ([NP, k] factors, [NP, 1] bias column)
-        w_in_ref, b_in_ref,
-        w_ref, b_ref,
-        # scratch: carried chunk state
-        agg_ref,   # [Gp, k+2]: [fb_sum | fb_bias | norm]
-        inv_ref,   # [Gp, 1]  : 1/norm (0 where empty)
-        dacc_ref,  # [Gp, k+1]: accumulated [dw | db] deltas
-    ):
+    def kernel(*refs):
+        (
+            # scalar prefetch
+            lrs_ref,            # [R] per-round lr
+            lbu_ref, lbi_ref,   # [R] log(1-lr_r*wd_bias)
+            logd_ref, logdb_ref,  # [R] log(d), log(db) feedback decay
+            lrfb_ref,           # [R] lr_fb = lr_r * scale_lr_ufeedback
+            cid_ref,            # [T] chunk id per step
+            pcid_ref,           # [T] chunk id of step t-1 (t=0 -> chunk T-1)
+            # batch blocks (SI (idx, val) pairs for the item segment)
+            u_idx_ref, u_val_ref,
+        ) = refs[:10]
+        item_refs = refs[10:10 + 2 * SI]
+        (
+            label_ref, weight_ref,
+            # per-round row-decay log tables (windows of [R, NP, 1])
+            lu_ref, li_ref,
+            # current chunk pool [1, Fp] + overlap [1, Gp, Gp]
+            fbi_ref, fbv_ref, fbb_ref, O_ref,
+            # previous chunk pool [1, Fp] (for the boundary flush)
+            pfbi_ref, pfbv_ref, pfbb_ref,
+            # tables in/out ([NP, k] factors, [NP, 1] bias column)
+            w_in_ref, b_in_ref,
+            w_ref, b_ref,
+            # scratch: carried chunk state
+            agg_ref,   # [Gp, k+2]: [fb_sum | fb_bias | norm]
+            inv_ref,   # [Gp, 1]  : 1/norm (0 where empty)
+            dacc_ref,  # [Gp, k+1]: accumulated [dw | db] deltas
+        ) = refs[10 + 2 * SI:]
         r = pl.program_id(0)
         t = pl.program_id(1)
         lr = lrs_ref[r]
@@ -223,9 +232,9 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
 
         # ---- cell: slab-local one-hot forward/scatter + feedback recurrence
         u_idx = u_idx_ref[0, 0, :]
-        i_idx = i_idx_ref[0, 0, :]
         u_val = u_val_ref[0, 0, :]
-        i_val = i_val_ref[0, 0, :]
+        i_idx = [item_refs[2 * s][0, 0, :] for s in range(SI)]
+        i_val = [item_refs[2 * s + 1][0, 0, :] for s in range(SI)]
         label = label_ref[0, 0, :]
         weight = weight_ref[0, 0, :]
 
@@ -244,7 +253,10 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         iota_u = jax.lax.broadcasted_iota(jnp.int32, (B, WU), 1) + AU
         Eu = (u_idx[:, None] == iota_u).astype(jnp.bfloat16)
         iota_i = jax.lax.broadcasted_iota(jnp.int32, (B, WI), 1) + AI
-        Ei = (i_idx[:, None] == iota_i).astype(jnp.bfloat16)
+        Ei = [
+            (i_idx[s][:, None] == iota_i).astype(jnp.bfloat16)
+            for s in range(SI)
+        ]
         mu = jnp.concatenate(
             [w_ref[AU:AU + WU, :], b_ref[AU:AU + WU, :]], axis=1
         ).astype(jnp.bfloat16)  # [WU, k+1]
@@ -254,8 +266,11 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         scaled_u = u_val[:, None] * jax.lax.dot_general(
             Eu, mu, dn, preferred_element_type=jnp.float32
         )  # [B, k+1]
-        scaled_i = i_val[:, None] * jax.lax.dot_general(
-            Ei, mi, dn, preferred_element_type=jnp.float32
+        scaled_i = sum(
+            i_val[s][:, None] * jax.lax.dot_general(
+                Ei[s], mi, dn, preferred_element_type=jnp.float32
+            )
+            for s in range(SI)
         )
         fb_slot = jax.lax.dot_general(
             S, fbs.astype(jnp.bfloat16), dn, preferred_element_type=jnp.float32
@@ -271,24 +286,26 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         lr_err = lr * err
 
         coef_u = lr_err * u_val
-        coef_i = lr_err * i_val
         ones = jnp.ones((B, 1), jnp.float32)
         zeros = jnp.zeros((B, 1), jnp.float32)
         bias_u = coef_u[:, None] if with_user_bias else zeros
         pay_u = jnp.concatenate(
             [coef_u[:, None] * p_i, bias_u, ones], axis=1
         )  # [B, k+2]: [dw | db | touch]
-        pay_i = jnp.concatenate(
-            [coef_i[:, None] * p_u, coef_i[:, None], ones], axis=1
-        )
         out_u = jax.lax.dot_general(
             Eu, pay_u.astype(jnp.bfloat16), dnT,
             preferred_element_type=jnp.float32,
         )  # [WU, k+2]
-        out_i = jax.lax.dot_general(
-            Ei, pay_i.astype(jnp.bfloat16), dnT,
-            preferred_element_type=jnp.float32,
-        )  # [WI, k+2]
+        out_i = jnp.zeros((WI, k + 2), jnp.float32)
+        for s in range(SI):
+            coef_i = lr_err * i_val[s]
+            pay_i = jnp.concatenate(
+                [coef_i[:, None] * p_u, coef_i[:, None], ones], axis=1
+            )
+            out_i = out_i + jax.lax.dot_general(
+                Ei[s], pay_i.astype(jnp.bfloat16), dnT,
+                preferred_element_type=jnp.float32,
+            )  # [WI, k+2]
         cu = out_u[:, k + 1 : k + 2]  # [WU, 1] touch counts
         ci = out_i[:, k + 1 : k + 2]
 
@@ -381,11 +398,18 @@ def train_rounds_svdpp_pallas(
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
 ) -> TrainState:
-    """Multi-round SVD++ training as a single fused Pallas kernel."""
+    """Multi-round SVD++ training as a single fused Pallas kernel.
+
+    stacked["u_*"]/["i_*"] may carry R per-round data planes (leading dim
+    R*T instead of T) — fresh pairwise-rank samples per round train in one
+    dispatch; label/weight/chunk geometry stay per-epoch."""
     T, GS = stacked["label"].shape
     assert GS == G * M
     N, k = state.w.shape
     R = lrs.shape[0]
+    per_round = stacked["u_idx"].shape[0] != T
+    if per_round:
+        assert stacked["u_idx"].shape[0] == R * T
     C, F = fb["fb_idx"].shape
     NP = _round_up(N, 128)
     Gp = _round_up(G + 1, 128)
@@ -398,16 +422,20 @@ def train_rounds_svdpp_pallas(
     WU = _round_up(off_item - AU, 128)
     AI = (off_item // 128) * 128
     WI = NP - AI
+    SI = stacked["i_idx"].shape[-1]
     kernel = _make_kernel(hp, GS, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
-                          AU, WU, AI, WI)
+                          AU, WU, AI, WI, SI=SI)
 
     # [T, 1, GS] so the (1, 1, GS) block satisfies Mosaic's trailing-dims
     # rule for any GS multiple of 128 (1-D operands get XLA's T(1024)
-    # layout, which Mosaic rejects below GS=1024)
+    # layout, which Mosaic rejects below GS=1024).  Item entries ship as
+    # SI separate (idx, val) planes for the same reason.
     u_idx = stacked["u_idx"][..., 0][:, None, :]
-    i_idx = stacked["i_idx"][..., 0][:, None, :]
     u_val = stacked["u_val"][..., 0][:, None, :]
-    i_val = stacked["i_val"][..., 0][:, None, :]
+    item_ops = []
+    for s in range(SI):
+        item_ops.append(stacked["i_idx"][..., s][:, None, :])
+        item_ops.append(stacked["i_val"][..., s][:, None, :])
     label = stacked["label"][:, None, :]
     weight = stacked["weight"][:, None, :]
 
@@ -449,6 +477,15 @@ def train_rounds_svdpp_pallas(
             (1, 1, GS), lambda r, t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         )
 
+    def round_spec(_):
+        """Per-round data planes: round r's step t lives at plane r*T+t."""
+        return pl.BlockSpec(
+            (1, 1, GS), lambda r, t, *_: (r * T + t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ui_spec = round_spec if per_round else batch_spec
+
     table_spec = pl.BlockSpec((NP, k), lambda r, t, *_: (0, 0),
                               memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((NP, 1), lambda r, t, *_: (0, 0),
@@ -478,8 +515,9 @@ def train_rounds_svdpp_pallas(
         num_scalar_prefetch=8,
         grid=(R, T),
         in_specs=[
-            batch_spec(u_idx), batch_spec(u_val), batch_spec(i_idx),
-            batch_spec(i_val), batch_spec(label), batch_spec(weight),
+            ui_spec(u_idx), ui_spec(u_val),
+            *[ui_spec(op) for op in item_ops],
+            batch_spec(label), batch_spec(weight),
             row_spec, row_spec,
             pool_cur, pool_cur, pool_cur, O_spec,
             pool_prev, pool_prev, pool_prev,
@@ -492,6 +530,8 @@ def train_rounds_svdpp_pallas(
             pltpu.VMEM((Gp, k + 1), jnp.float32),
         ],
     )
+    # tables are operands 8 (scalar prefetch) + 13 + 2*SI onward
+    w_op = 21 + 2 * SI
     w_out, b_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -499,13 +539,13 @@ def train_rounds_svdpp_pallas(
             jax.ShapeDtypeStruct((NP, k), jnp.float32),
             jax.ShapeDtypeStruct((NP, 1), jnp.float32),
         ),
-        input_output_aliases={23: 0, 24: 1},
+        input_output_aliases={w_op: 0, w_op + 1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
     )(
         lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid,
-        u_idx, u_val, i_idx, i_val, label, weight,
+        u_idx, u_val, *item_ops, label, weight,
         log_u, log_i,
         fbi, fbv, fbb, O,
         fbi, fbv, fbb,

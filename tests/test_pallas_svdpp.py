@@ -118,3 +118,63 @@ def test_update_rounds_matches_per_round_updates():
     b.update_rounds(ds, 3)
     np.testing.assert_array_equal(np.asarray(a.state.w), np.asarray(b.state.w))
     np.testing.assert_array_equal(np.asarray(a.state.b), np.asarray(b.state.b))
+
+
+def synth_pair_ds(seed=1, n_users=40):
+    """Pair-shaped workload: two item entries per row ([pos, neg] with
+    values [+1, -1]) — the width the pairwise-rank difference rows pack to."""
+    rng = np.random.RandomState(seed)
+    rows, fbs = [], []
+    for u in range(n_users):
+        r = rng.randint(1, 6)
+        for _ in range(r):
+            i1, i2 = rng.choice(100, size=2, replace=False)
+            rows.append(f"1 0 1 2 {u}:1 {i1}:1 {i2}:-1")
+        nf = rng.randint(2, 7)
+        ids = rng.choice(25, size=nf, replace=False)
+        feats = " ".join(f"{j}:{0.3 + 0.1 * (j % 3):.1f}" for j in ids)
+        fbs.append(f"{r} {nf} {feats}")
+    return load_plus_text(
+        "x", "y", text="\n".join(rows), feedback_text="\n".join(fbs)
+    )
+
+
+@pytest.mark.parametrize("m", [1, 2])
+def test_pallas_svdpp_item_width2_matches_jnp_interpret(m):
+    """SI=2 kernel (pairwise-rank rows) vs the jnp epoch, interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ds = synth_pair_ds()
+    tr = make(dict(rows_per_user=m, active_type=3, no_user_bias=1))
+    stacked, chunk_id, fb, _, overlap = tr._pack_plus(ds)
+    assert stacked["i_idx"].shape[-1] == 2
+    G = stacked["label"].shape[1] // m
+    fbh = (
+        tr.tparam.scale_lr_ufeedback,
+        tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    R = 2
+    lr = jnp.float32(tr.learning_rate)
+
+    st = jax.tree.map(jnp.copy, tr.state)
+    for _ in range(R):
+        st = train_epoch_plus(
+            st, stacked, chunk_id, fb, overlap, lr, tr.consts, tr.hp,
+            *fbh, rows_per_user=m,
+        )
+
+    lrs = jnp.full((R,), lr, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = train_rounds_svdpp_pallas(
+            jax.tree.map(jnp.copy, tr.state), stacked, chunk_id, fb,
+            overlap, lrs, tr.consts, tr.hp, G, m,
+            tr.model.off_user, tr.model.off_item, *fbh,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.w), np.asarray(st.w), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.b), np.asarray(st.b), atol=5e-4, rtol=1e-3
+    )
+    assert int(out.step) == int(st.step)

@@ -236,3 +236,123 @@ def test_pair_dense_layout_trains():
     tr.update_rounds(src, 15)
     p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
     assert np.mean(p > 0.5) > 0.9
+
+
+def _noglobal_pair_ds(seed=4):
+    """Skewed pair blocks with NO global features (skeleton-eligible);
+    16 users so the dense layout packs GS = 16 x 8 = 128 (Pallas-sized)."""
+    rng = np.random.RandomState(seed)
+    rows, fb = [], []
+    for u in range(16):
+        n = 2 + (7 * (u % 5))  # skewed block sizes: 2..30 rows
+        items = rng.choice(30, min(n, 30), replace=False)
+        for i in items:
+            rows.append(f"{float(1 if i < 15 else 0)} 0 1 1 {u}:1 {i}:1")
+        fb.append(f"{len(items)} 0")
+    return load_plus_text("x", "y", text="\n".join(rows), feedback_text="\n".join(fb))
+
+
+def test_device_sampler_law():
+    """On-device resampler (ops/pair_sample.py) obeys the reference
+    sampling law (apex_svd_data.cpp:812-1025): every sampled row is a
+    same-user candidate of the right polarity, coverage is the cyclic
+    read of a permutation (per-candidate counts differ by <=1; exactly
+    once when snum == n_neg), padded slots hold the dummy row, rounds
+    are fresh, and a key replays deterministically."""
+    import jax
+
+    from svdfeature_tpu.ops.pair_sample import (
+        build_pair_sampler_statics,
+        sample_pair_flats,
+    )
+
+    ds = _noglobal_pair_ds()
+    cfg = IteratorConfig()
+    src = PairSource(ds, cfg, seed=9)
+    tr = _mini_rank_trainer(
+        [("users_per_batch", "4"), ("num_global", "0"), ("num_user", "16")]
+    )
+    tr._apply_pair_layout()
+    assert tr._pair_skeleton_ok(src)
+    sk = tr._build_pair_skeleton(src)
+    st = build_pair_sampler_statics(src, sk["slot"], sk["TGS"])
+
+    R = 3
+    fp, fn = map(
+        np.asarray, sample_pair_flats(jax.random.PRNGKey(0), st, R, sk["TGS"])
+    )
+    assert fp.shape == fn.shape == (R, sk["TGS"])
+
+    rows = src._rows_cat
+    Rr = rows.num_row
+    labels = rows.labels
+    row_starts = np.asarray(src._row_starts, np.int64)
+    row_block = (
+        np.searchsorted(row_starts, np.arange(Rr), side="right") - 1
+    )
+    _, _, counts = src.epoch_pairs()
+    blk_of_pair = np.repeat(np.arange(len(counts)), counts)
+    slot = sk["slot"]
+    pad = np.ones(sk["TGS"], bool)
+    pad[slot] = False
+
+    for r in range(R):
+        assert (fp[r][pad] == Rr).all() and (fn[r][pad] == Rr).all()
+        p, n = fp[r][slot], fn[r][slot]
+        # same-user candidates of the right polarity
+        np.testing.assert_array_equal(row_block[p], blk_of_pair)
+        np.testing.assert_array_equal(row_block[n], blk_of_pair)
+        assert (labels[p] - cfg.pos_sample_lowerb > -1e-6).all()
+        assert (labels[n] - cfg.neg_sample_upperb < 1e-6).all()
+        # cyclic-permutation coverage per user
+        for b in np.unique(blk_of_pair):
+            sel = blk_of_pair == b
+            in_b = row_block == b
+            for plane, cond in (
+                (p, labels - cfg.pos_sample_lowerb > -1e-6),
+                (n, labels - cfg.neg_sample_upperb < 1e-6),
+            ):
+                cand = np.nonzero(in_b & cond)[0]
+                c = np.bincount(plane[sel], minlength=Rr)[cand]
+                assert c.max() - c.min() <= 1
+        # snum == n_neg by default: each negative exactly once per round
+        cnt_n = np.bincount(n, minlength=Rr)
+        used_users = np.unique(blk_of_pair)
+        negs_of_used = np.nonzero(
+            np.isin(row_block, used_users)
+            & (labels - cfg.neg_sample_upperb < 1e-6)
+        )[0]
+        assert (cnt_n[negs_of_used] == 1).all()
+
+    # fresh randomness across rounds; deterministic under the same key
+    assert (fp[0] != fp[1]).any() or (fn[0] != fn[1]).any()
+    fp2, fn2 = map(
+        np.asarray, sample_pair_flats(jax.random.PRNGKey(0), st, R, sk["TGS"])
+    )
+    np.testing.assert_array_equal(fp, fp2)
+    np.testing.assert_array_equal(fn, fn2)
+
+
+def test_pair_device_path_trains_interpret(monkeypatch):
+    """End-to-end device path (_pair_device_ok -> _train_pair_rounds_device):
+    on-device resampling + whole-run Pallas kernel, interpret mode, learns
+    the pair ordering like the host path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "default_device_is_tpu", lambda: True)
+    ds = _noglobal_pair_ds()
+    # sized so pallas_svdpp_supported holds: GS = 16 users x 8 rows = 128,
+    # table rows clear the padded feedback slab
+    tr = _mini_rank_trainer(
+        [("users_per_batch", "16"), ("num_global", "0"),
+         ("num_user", "60"), ("num_item", "100"), ("num_ufeedback", "130"),
+         ("learning_rate", "0.02"), ("rank_device_sample", "1")]
+    )
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    with pltpu.force_tpu_interpret_mode():
+        tr.update_rounds(src, 10)
+    assert tr._pair_sk is not None and "sampler" in tr._pair_sk
+    p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
+    assert np.mean(p > 0.5) > 0.9
