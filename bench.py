@@ -248,12 +248,19 @@ def child_main(results_path: str) -> None:
     except Exception as e:  # pragma: no cover
         print(f"WARNING: svdpp bench failed: {e}", file=sys.stderr)
 
-    # ---- multi-IMFB (extend_type=2, carried overlap epoch) ----------------
-    # Same data as implicitFeedback (DEFAULT blocks = stack depth 1); the
-    # carried closed form keeps pool work O(chunks) like SVD++
-    # (ops/imfb.train_epoch_imfb_carried); trajectory parity is pinned by
-    # tests/test_side_solvers.py and the slow multi_imfb golden gate.
+    # ---- multi-IMFB (extend_type=2) ----------------------------------------
+    # Two measurements: (a) the implicitFeedback data as-is — all-DEFAULT
+    # blocks degenerate to plain SVD++ (solvers/multi_imfb._plain_svdpp)
+    # and ride the whole SVD++ fast path incl. the Pallas whole-run
+    # kernel, bit-identical trajectory (tests/test_side_solvers.py);
+    # (b) a genuinely STACKED variant (each user's rows split into two
+    # DEFAULT sub-blocks nested under a START/END user-level context,
+    # depth 2) driving the carried stacked epoch
+    # (ops/imfb.train_epoch_imfb_carried).
     def bench_imfb():
+        from svdfeature_tpu.data.csr import (
+            PlusBlock, PlusDataset, TAG_END, TAG_START,
+        )
         from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
 
         pds = load_plus_text(
@@ -264,25 +271,60 @@ def child_main(results_path: str) -> None:
         pp = BASIC + [
             ("wd_ufeedback", "0.004"), ("num_ufeedback", "1682"),
         ]
-        tp = make(SVDPPMultiIMFBTrainer,
-                  dict(format_type=1, extend_type=2), pp)
-        tp.update_rounds(pds, 2)  # compile
-        _ = int(tp.state.step)
-        dt = None
-        for _ in range(2):
+
+        def measure(data, extra, rounds=ROUNDS):
             tp = make(SVDPPMultiIMFBTrainer,
-                      dict(format_type=1, extend_type=2), pp)
-            tp._pack_plus(pds)
-            t0 = time.time()
-            tp.update_rounds(pds, ROUNDS)
+                      dict(format_type=1, extend_type=2), pp + extra)
+            tp.update_rounds(data, 2)  # compile
             _ = int(tp.state.step)
-            d = time.time() - t0
-            dt = d if dt is None else min(dt, d)
-        res = {"examples_per_sec": round(ROUNDS * pds.rows.num_row / dt)}
+            dt = None
+            for _ in range(2):
+                tp = make(SVDPPMultiIMFBTrainer,
+                          dict(format_type=1, extend_type=2), pp + extra)
+                tp._pack_plus(data)
+                t0 = time.time()
+                tp.update_rounds(data, rounds)
+                _ = int(tp.state.step)
+                d = time.time() - t0
+                dt = d if dt is None else min(dt, d)
+            return round(rounds * data.rows.num_row / dt)
+
+        res = {"examples_per_sec": measure(
+            pds, [("sort_blocks", "1"), ("rows_per_user", "8")]
+        )}
         if svdpp_res:
             res["vs_svdpp"] = round(
                 res["examples_per_sec"] / svdpp_res["examples_per_sec"], 3
             )
+
+        import numpy as np
+
+        stacked_blocks = []
+        empty = (np.zeros(0, np.uint32), np.zeros(0, np.float32))
+        for blk in pds.blocks():
+            n = blk.data.num_row
+            if n >= 2:
+                h = n // 2
+                # user-level context stays open (START), the second half
+                # runs under [user, session] = depth 2 (DEFAULT pushes its
+                # own), END pops the user context
+                stacked_blocks.append(PlusBlock(
+                    blk.fb_index, blk.fb_value, blk.data.slice_rows(0, h),
+                    extend_tag=TAG_START,
+                ))
+                stacked_blocks.append(PlusBlock(
+                    blk.fb_index[: max(1, len(blk.fb_index) // 2)],
+                    blk.fb_value[: max(1, len(blk.fb_value) // 2)],
+                    blk.data.slice_rows(h, n - h),
+                ))
+                stacked_blocks.append(PlusBlock(
+                    empty[0], empty[1], blk.data.slice_rows(n, 0),
+                    extend_tag=TAG_END,
+                ))
+            else:
+                stacked_blocks.append(blk)
+        sds = PlusDataset.from_blocks(stacked_blocks)
+        res["stacked_examples_per_sec"] = measure(sds, [])
         return res
 
     try:

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batching_imfb import pack_imfb
-from ..data.csr import PlusDataset
+from ..data.csr import TAG_DEFAULT, PlusDataset
 from ..ops.imfb import predict_batches_imfb, train_epoch_imfb
 from .svdpp import SVDPPFeatureTrainer
 
@@ -30,18 +30,47 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     def __init__(self, mtype):
         super().__init__(mtype)
         self.disable_levels = set()
+        self._plain_cache = {}
+
+    def _plain_svdpp(self, ds) -> bool:
+        """An all-DEFAULT tag stream degenerates to plain SVD++: every
+        block pushes its own feedback, processes its rows, pops — depth
+        stays 0 throughout (apex_multi_imfb.h:31-194 reduces to
+        apex_svd_base.h:484-592), verified to float roundoff
+        (tests/test_side_solvers.py).  Such datasets take the WHOLE
+        SVD++ fast path (Pallas whole-run kernel, sort_blocks,
+        rows_per_user, streaming) unless depth-0 updates are disabled."""
+        if 0 in self.disable_levels:
+            return False
+        key = id(ds)
+        if key not in self._plain_cache:
+            if isinstance(ds, PlusDataset):
+                plain = bool((ds.extend_tag == TAG_DEFAULT).all())
+            elif hasattr(ds, "phys"):  # StreamingPlusBuffer pre-scan
+                plain = all(tag == TAG_DEFAULT for _, _, tag in ds.phys)
+            else:
+                plain = False
+            self._plain_cache[key] = plain
+        return self._plain_cache[key]
 
     def _pallas_plus_ok(self, entry) -> bool:
-        # the whole-run Pallas kernel is plain SVD++ — it lacks the
-        # stacked-context terms; update_rounds falls to per-round epochs
+        # plain SVD++ entries (degenerate all-DEFAULT route, 5-tuple)
+        # ride the whole-run Pallas kernel; the stacked-context epoch
+        # (6-tuple) falls to per-round epochs — the kernel lacks the
+        # stacked terms
+        if len(entry) == 5:
+            return super()._pallas_plus_ok(entry)
         return False
 
     def _stream_round_plus(self, ds) -> None:
+        if self._plain_svdpp(ds):
+            return super()._stream_round_plus(ds)
         raise NotImplementedError(
-            "streaming=1 is not implemented for the multi-IMFB solver: "
-            "the stream's cap pre-scan does not bound stacked-context "
-            "counts per chunk (pack_imfb has no cap-stable streamed "
-            "form); stage the dataset (streaming=0)"
+            "streaming=1 is not implemented for stacked multi-IMFB "
+            "sources: the stream's cap pre-scan does not bound stacked-"
+            "context counts per chunk (pack_imfb has no cap-stable "
+            "streamed form); stage the dataset (streaming=0).  All-"
+            "DEFAULT streams degenerate to SVD++ and do stream."
         )
 
     def set_param(self, name: str, val: str) -> None:
@@ -50,6 +79,8 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         super().set_param(name, val)
 
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
+        if self._plain_svdpp(ds):
+            return super()._pack_plus(ds, cache)
         if self.rows_per_user > 1:
             raise NotImplementedError(
                 "rows_per_user > 1 applies to the plain SVD++ solver only"
@@ -135,6 +166,8 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         return self._pack_cache[key]
 
     def _train_packed(self, entry) -> None:
+        if len(entry) == 5:  # plain SVD++ entry (degenerate route)
+            return super()._train_packed(entry)
         stacked, chunk_id, fb, _, enabled, overlap = entry
         if self._mesh is not None:
             G = stacked["label"].shape[1]
@@ -194,6 +227,8 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         )
 
     def predict_all(self, ds) -> np.ndarray:
+        if isinstance(ds, PlusDataset) and self._plain_svdpp(ds):
+            return super().predict_all(ds)
         if hasattr(ds, "epoch_dataset"):
             entry = self._pack_plus(ds.epoch_dataset(), cache=False)
         elif isinstance(ds, PlusDataset):

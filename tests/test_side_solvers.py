@@ -391,3 +391,77 @@ def test_bilinear_mesh_matches_single_device(reg):
     single.save_model(b1)
     meshed.save_model(b2)
     assert len(b1.getvalue()) == len(b2.getvalue())
+
+
+def test_imfb_degenerate_routes_to_svdpp():
+    """All-DEFAULT tag streams take the WHOLE SVD++ fast path (5-tuple
+    plain entries, sort_blocks/rows_per_user accepted, bit-identical
+    trajectory); stacked or depth-0-disabled runs keep the imfb epoch."""
+    ds = tiny_plus()
+    t2 = make(SVDPPMultiIMFBTrainer, sort_blocks=1, rows_per_user=2)
+    assert t2._plain_svdpp(ds)
+    assert len(t2._pack_plus(ds)) == 5  # plain SVD++ entry
+    t1 = make(SVDPPFeatureTrainer, sort_blocks=1, rows_per_user=2)
+    for _ in range(2):
+        t1.update_all(ds)
+        t2.update_all(ds)
+    np.testing.assert_array_equal(np.asarray(t1.state.w), np.asarray(t2.state.w))
+    np.testing.assert_array_equal(t1.predict_all(ds), t2.predict_all(ds))
+
+    # stacked data -> imfb entry (6-tuple), no routing
+    blocks = list(ds.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(np.zeros(0, np.uint32), np.zeros(0, np.float32),
+                  blocks[1].data, extend_tag=TAG_END),
+    ] + blocks[2:]
+    sds = PlusDataset.from_blocks(nested)
+    t3 = make(SVDPPMultiIMFBTrainer)
+    assert not t3._plain_svdpp(sds)
+    assert len(t3._pack_plus(sds)) == 6
+
+    # disable_level 0 opts out of the routing (depth-0 updates masked)
+    t4 = make(SVDPPMultiIMFBTrainer)
+    t4.set_param("ufeedback_disable_level", "0")
+    assert not t4._plain_svdpp(ds)
+    assert len(t4._pack_plus(ds)) == 6
+
+
+def test_imfb_degenerate_streams(tmp_path):
+    """streaming=1 composes with multi-IMFB on all-DEFAULT buffers (the
+    degenerate SVD++ route); stacked streams keep the documented refusal."""
+    import pytest
+
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = tiny_plus()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make(SVDPPMultiIMFBTrainer)
+    streamed = make(SVDPPMultiIMFBTrainer)
+    assert streamed._plain_svdpp(src)
+    for _ in range(2):
+        staged.update_all(ds)
+        streamed.update_all(src)
+    np.testing.assert_array_equal(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w)
+    )
+
+    # a stacked stream still refuses with the documented message
+    blocks = list(ds.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(np.zeros(0, np.uint32), np.zeros(0, np.float32),
+                  blocks[1].data, extend_tag=TAG_END),
+    ] + blocks[2:]
+    spath = str(tmp_path / "s.buffer")
+    write_plus_buffer(spath, PlusDataset.from_blocks(nested))
+    ssrc = StreamingPlusBuffer(spath, blocks_per_chunk=4)
+    t = make(SVDPPMultiIMFBTrainer)
+    with pytest.raises(NotImplementedError, match="stacked multi-IMFB"):
+        t._stream_round_plus(ssrc)

@@ -589,13 +589,25 @@ def test_bilinear_streamed_matches_staged(tmp_path):
 
 
 def test_imfb_streaming_clear_error(tmp_path):
-    """multi-IMFB x streaming refuses with a clear message instead of a
-    shape crash."""
+    """STACKED multi-IMFB x streaming refuses with a clear message
+    instead of a shape crash; all-DEFAULT streams degenerate to SVD++
+    and stream fine (tests/test_side_solvers.py::test_imfb_degenerate_streams)."""
     from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.csr import TAG_END, TAG_START
     from svdfeature_tpu.data.streaming import StreamingPlusBuffer
     from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
 
     pds = make_plus_ds()
+    blocks = list(pds.blocks())
+    blocks[0] = type(blocks[0])(
+        blocks[0].fb_index, blocks[0].fb_value, blocks[0].data,
+        extend_tag=TAG_START,
+    )
+    blocks[1] = type(blocks[1])(
+        blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
+        extend_tag=TAG_END,
+    )
+    pds = type(pds).from_blocks(blocks)
     path = str(tmp_path / "p.buffer")
     write_plus_buffer(path, pds)
     tr = SVDPPMultiIMFBTrainer(SVDTypeParam(format_type=1, extend_type=2))
@@ -607,5 +619,5 @@ def test_imfb_streaming_clear_error(tmp_path):
         tr.set_param(k, str(v))
     tr.init_model()
     tr.init_trainer()
-    with pytest.raises(NotImplementedError, match="multi-IMFB"):
+    with pytest.raises(NotImplementedError, match="stacked multi-IMFB"):
         tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
