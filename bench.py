@@ -300,7 +300,6 @@ def child_main(results_path: str) -> None:
         import numpy as np
 
         stacked_blocks = []
-        empty = (np.zeros(0, np.uint32), np.zeros(0, np.float32))
         for blk in pds.blocks():
             n = blk.data.num_row
             if n >= 2:
@@ -317,8 +316,13 @@ def child_main(results_path: str) -> None:
                     blk.fb_value[: max(1, len(blk.fb_value) // 2)],
                     blk.data.slice_rows(h, n - h),
                 ))
+                # END carries the SAME list as its START — the
+                # reference writes the popped context back through the
+                # POPPING block's list (apex_multi_imfb.h:173-179), and
+                # its own generator repeats the list on START and END
+                # (kddcup_combine_ugroup.cpp:196-230)
                 stacked_blocks.append(PlusBlock(
-                    empty[0], empty[1], blk.data.slice_rows(n, 0),
+                    blk.fb_index, blk.fb_value, blk.data.slice_rows(n, 0),
                     extend_tag=TAG_END,
                 ))
             else:

@@ -122,3 +122,40 @@ echo ALL GOLDEN DONE
 # $TOOLS/make_feature_buffer big.feature big.buffer -batch_size 1000
 # time $BIN/svd_feature big.conf num_round=1 silent=1
 # time $BIN/svd_feature big.conf num_round=5 silent=1
+
+### multi_imfb_stacked (genuinely stacked depth-2 taxonomy variant)
+# Requires svdfeature_tpu (the stacked buffer is written via its
+# byte-compatible writer — interop is part of what the gate pins).
+# Per user block: START(user fb, first half rows) keeps the user context
+# open, a DEFAULT sub-block (half fb, second half rows) trains at depth 2,
+# END(user fb again — the reference pops through the POPPING block's list,
+# apex_multi_imfb.h:173-179; its generator repeats the list on START/END,
+# kddcup_combine_ugroup.cpp:196-230).  See
+# tests/test_golden_full.py::_stack_depth2 for the exact transform.
+cd implicitFeedback
+PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python - <<'PYEOF'
+from svdfeature_tpu.data.text import load_plus_text
+from svdfeature_tpu.data.buffer import write_plus_buffer
+from svdfeature_tpu.data.csr import PlusBlock, PlusDataset, TAG_END, TAG_START
+pds = load_plus_text("ua.base.group.basicfeature", "ua.base.feedbackfeature")
+blocks = []
+for blk in pds.blocks():
+    n = blk.data.num_row
+    if n >= 2:
+        h = n // 2
+        blocks += [
+            PlusBlock(blk.fb_index, blk.fb_value, blk.data.slice_rows(0, h), extend_tag=TAG_START),
+            PlusBlock(blk.fb_index[:max(1, len(blk.fb_index)//2)],
+                      blk.fb_value[:max(1, len(blk.fb_value)//2)],
+                      blk.data.slice_rows(h, n - h)),
+            PlusBlock(blk.fb_index, blk.fb_value, blk.data.slice_rows(n, 0), extend_tag=TAG_END),
+        ]
+    else:
+        blocks.append(blk)
+write_plus_buffer("buffer.base.stacked.svdpp", PlusDataset.from_blocks(blocks))
+PYEOF
+rm -f *.model
+../../svd_feature implicitFeedback.conf num_round=8 silent=1 extend_type=2 buffer_feature=buffer.base.stacked.svdpp
+rm -f $OUT/multi_imfb_stacked.rmse.tsv
+../../svd_feature_infer implicitFeedback.conf start=1 end=9 silent=1 extend_type=2 log_eval=$OUT/multi_imfb_stacked.rmse.tsv
+cd ..

@@ -271,3 +271,62 @@ def test_pairwise_rank_p20_full(golden, tmp_path):
     # per-position rank equality vs the reference run is not asserted
     # (different PRNG -> different factors); the metric is the contract,
     # golden/pairwiseRank.pred.txt documents the reference output
+
+
+def _stack_depth2(pds):
+    """The depth-2 taxonomy transform the stacked golden was generated
+    with: per user, START(user fb, first half rows) keeps the user
+    context open, a DEFAULT sub-block (half fb, second half) trains at
+    depth 2, END pops.  The golden buffer was written by
+    data/buffer.write_plus_buffer and trained by the reference binary
+    (extend_type=2) — byte-level interop is part of what this pins."""
+    import numpy as np
+
+    from svdfeature_tpu.data.csr import (
+        PlusBlock, PlusDataset, TAG_END, TAG_START,
+    )
+
+    blocks = []
+    for blk in pds.blocks():
+        n = blk.data.num_row
+        if n >= 2:
+            h = n // 2
+            blocks += [
+                PlusBlock(blk.fb_index, blk.fb_value,
+                          blk.data.slice_rows(0, h), extend_tag=TAG_START),
+                PlusBlock(blk.fb_index[: max(1, len(blk.fb_index) // 2)],
+                          blk.fb_value[: max(1, len(blk.fb_value) // 2)],
+                          blk.data.slice_rows(h, n - h)),
+                # END repeats the START list: the reference pops
+                # through the POPPING block's list (apex_multi_imfb.h:173-179)
+                # and its generator emits the same list on both
+                # (kddcup_combine_ugroup.cpp:196-230)
+                PlusBlock(blk.fb_index, blk.fb_value,
+                          blk.data.slice_rows(n, 0), extend_tag=TAG_END),
+            ]
+        else:
+            blocks.append(blk)
+    return PlusDataset.from_blocks(blocks)
+
+
+def test_multi_imfb_stacked_golden_trajectory():
+    """golden/multi_imfb_stacked.rmse.tsv: reference extend_type=2 on a
+    genuinely STACKED (depth-2 START/DEFAULT/END) variant of the
+    implicitFeedback workload — the nested-context machinery itself
+    (apex_multi_imfb.h:83-148), not the all-DEFAULT degenerate case."""
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.registry import create_svd_trainer
+
+    want = _read_rmse_tsv("multi_imfb_stacked.rmse.tsv")
+    train, test = _implicit_feedback_data()
+    strain = _stack_depth2(train)
+    p = dict(BASIC, format_type=1, num_ufeedback=1682, wd_ufeedback=0.004)
+    mt = SVDTypeParam(format_type=svd_type.USER_GROUP_FORMAT, extend_type=2)
+    tr = create_svd_trainer(mt)
+    for n, v in p.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    assert not tr._plain_svdpp(strain)  # genuinely stacked
+    got = trajectory(tr, strain, test, test.rows.labels, rounds=len(want))
+    assert_trajectory(got, want, 0.01)
