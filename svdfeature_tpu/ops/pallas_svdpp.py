@@ -94,12 +94,20 @@ def pallas_svdpp_supported(hp, state, stacked, fb, off_user: int) -> bool:
 
 
 def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
-                 AU, WU, AI, WI, SI=1):
+                 AU, WU, AI, WI, SI=1, D=0):
     """B = GS = G*M slots per cell; NP = padded table rows; Gp = padded
     G+1 segments; Fp = padded pool entries per chunk; Nfb = padded
     feedback-slab rows; [AU, AU+WU) / [AI, AI+WI) = 128-aligned windows
     covering the user / item slabs; SI = item entries per slot (2 for
-    pairwise-rank difference rows: [pos, neg] with values [+v, -v])."""
+    pairwise-rank difference rows: [pos, neg] with values [+v, -v]).
+
+    D = 0: plain SVD++, segments are users (slot s -> user s//M).
+    D > 0: multi-IMFB stacked contexts (apex_multi_imfb.h:83-148) —
+    segments are the chunk's local feedback contexts, each slot reads D
+    context ids from its ctx planes (pad = an always-gated slot), the
+    selector S becomes multi-hot, and a per-chunk gate masks disabled
+    depths' deltas (the reference skips those contexts entirely: no
+    accumulate AND no decay, update_svdpp :85-94)."""
     at = hp.active_type
     with_user_bias = not hp.no_user_bias
     NT = Fp // FB_TILE
@@ -118,12 +126,16 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             u_idx_ref, u_val_ref,
         ) = refs[:10]
         item_refs = refs[10:10 + 2 * SI]
+        ctx_refs = refs[10 + 2 * SI:10 + 2 * SI + D]
         (
             label_ref, weight_ref,
             # per-round row-decay log tables (windows of [R, NP, 1])
             lu_ref, li_ref,
             # current chunk pool [1, Fp] + overlap [1, Gp, Gp]
             fbi_ref, fbv_ref, fbb_ref, O_ref,
+        ) = refs[10 + 2 * SI + D:18 + 2 * SI + D]
+        gate_refs = refs[18 + 2 * SI + D:18 + 2 * SI + D + (1 if D else 0)]
+        (
             # previous chunk pool [1, Fp] (for the boundary flush)
             pfbi_ref, pfbv_ref, pfbb_ref,
             # tables in/out ([NP, k] factors, [NP, 1] bias column)
@@ -133,7 +145,7 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             agg_ref,   # [Gp, k+2]: [fb_sum | fb_bias | norm]
             inv_ref,   # [Gp, 1]  : 1/norm (0 where empty)
             dacc_ref,  # [Gp, k+1]: accumulated [dw | db] deltas
-        ) = refs[10 + 2 * SI:]
+        ) = refs[18 + 2 * SI + D + (1 if D else 0):]
         r = pl.program_id(0)
         t = pl.program_id(1)
         lr = lrs_ref[r]
@@ -243,10 +255,20 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         norm_col = agg[:, k + 1 : k + 2]
         inv_col = inv_ref[:]
 
-        # constant slot->user selector (slot = g*M + m -> user g)
-        slot_user = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 0) // M
         iota_gp = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 1)
-        S = (slot_user == iota_gp).astype(jnp.bfloat16)  # [B, Gp]
+        if D == 0:
+            # constant slot->user selector (slot = g*M + m -> user g)
+            slot_user = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 0) // M
+            S = (slot_user == iota_gp).astype(jnp.bfloat16)  # [B, Gp]
+        else:
+            # multi-hot slot->contexts selector: a row reads/updates the
+            # SUM of its active contexts (prepare_svdpp,
+            # apex_multi_imfb.h:66-75); pad ctx ids hit an always-empty,
+            # always-gated segment
+            S = sum(
+                (c_ref[0, 0, :][:, None] == iota_gp).astype(jnp.bfloat16)
+                for c_ref in ctx_refs
+            )  # [B, Gp]
 
         # slab-local selectors: padded slots carry the dummy index N-1,
         # which never matches a real user/item column (zero contribution)
@@ -357,6 +379,10 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             axis=1,
         )  # [Gp, k+1]
         delta = dtmp * inv_col
+        if D:
+            # disabled depths: no accumulate, no decay (the reference
+            # `continue`s the whole context, apex_multi_imfb.h:85-87)
+            delta = delta * gate_refs[0][0, 0, :][:, None]
         dacc_ref[:] = dacc_ref[:] + delta
         # carried aggregates: agg[:, :k+1] += O @ delta (norm col carried
         # via a zero pad — full-width store, no lane-offset slicing)
@@ -548,6 +574,215 @@ def train_rounds_svdpp_pallas(
         u_idx, u_val, *item_ops, label, weight,
         log_u, log_i,
         fbi, fbv, fbb, O,
+        fbi, fbv, fbb,
+        w_pad, b_pad,
+    )
+    nstep = state.step + (
+        jnp.sum(stacked["weight"] > 0).astype(jnp.int32) * jnp.int32(R)
+    )
+    return TrainState(
+        w=w_out[:N],
+        b=b_out[:N, 0],
+        g=state.g,
+        step=nstep,
+        ref_ui=state.ref_ui,
+        ref_g=state.ref_g,
+    )
+
+
+def pallas_imfb_supported(hp, state, stacked, fb, enabled, off_user) -> bool:
+    """Stacked multi-IMFB whole-run kernel: the SVD++ predicate plus
+    imfb-specific shape constraints (M=1 layout, context count fits the
+    padded segment dimension)."""
+    n, k = state.w.shape
+    GS = stacked["label"].shape[1]
+    return (
+        off_user > 0
+        and hp.reg_method == 0
+        and hp.reg_global == 0
+        and not hp.user_nonnegative
+        and not hp.item_nonnegative
+        and hp.active_type in (losses.LINEAR, losses.SIGMOID_L2,
+                               losses.SIGMOID_LIKELIHOOD, losses.SIGMOID_RANK,
+                               losses.SIGMOID_QSGRAD)
+        and stacked["u_idx"].shape[-1] == 1
+        and stacked["i_idx"].shape[-1] == 1
+        and stacked["g_idx"].shape[-1] == 1
+        and state.g.shape[0] == 1  # no global features
+        and _round_up(n, 128) * k * 4 <= PALLAS_VMEM_TABLE_BYTES
+        and k % 8 == 0
+        and GS % 128 == 0
+        and fb["fb_idx"].shape[1] <= 1 << 17
+        and _round_up(off_user, 128) < n
+        # the carried overlap form needs the pool-row/ui-row disjointness
+        # (solver gates on overlap is not None); VMEM budget for the
+        # per-chunk [Gp, Gp] overlap block
+        and _round_up(enabled.shape[1], 128) <= 1024
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hp", "off_user", "off_item"),
+    donate_argnames=("state",),
+)
+def train_rounds_imfb_pallas(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    fb_overlap,
+    enabled,
+    lrs: jax.Array,
+    consts: TrainConsts,
+    hp: HyperParams,
+    off_user: int,
+    off_item: int,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+) -> TrainState:
+    """Multi-round STACKED multi-IMFB training as one fused Pallas kernel.
+
+    The SVD++ whole-run kernel in D>0 mode: segments are the chunk's
+    local feedback contexts (fb keyed by fb_ctx, overlap keyed likewise,
+    ops/imfb.train_epoch_imfb_carried is the jnp reference), each slot
+    carries D context-id planes, disabled depths ride the per-chunk gate.
+    Trajectory matches train_epoch_imfb_carried (pinned in
+    tests/test_pallas_svdpp.py, interpret mode)."""
+    T, GS = stacked["label"].shape
+    N, k = state.w.shape
+    R = lrs.shape[0]
+    C, F = fb["fb_idx"].shape
+    nseg = enabled.shape[1]
+    D = stacked["ctx_slots"].shape[-1]
+    NP = _round_up(N, 128)
+    Gp = _round_up(nseg, 128)
+    Fp = _round_up(F, FB_TILE)
+    Nfb = _round_up(off_user, 128)
+    AU = (off_user // 128) * 128
+    WU = _round_up(off_item - AU, 128)
+    AI = (off_item // 128) * 128
+    WI = NP - AI
+    kernel = _make_kernel(hp, GS, NP, N, k, GS, 1, Gp, Fp, Nfb, R, T,
+                          AU, WU, AI, WI, SI=1, D=D)
+
+    u_idx = stacked["u_idx"][..., 0][:, None, :]
+    u_val = stacked["u_val"][..., 0][:, None, :]
+    i_idx = stacked["i_idx"][..., 0][:, None, :]
+    i_val = stacked["i_val"][..., 0][:, None, :]
+    label = stacked["label"][:, None, :]
+    weight = stacked["weight"][:, None, :]
+    # ctx ids beyond nseg-1 (the pad slot) would alias padding segments;
+    # pack_imfb pads with nseg-1 which the gate holds at 0
+    ctx_ops = [
+        stacked["ctx_slots"][..., d].astype(jnp.int32)[:, None, :]
+        for d in range(D)
+    ]
+
+    def _log1m(x):
+        return jnp.log(jnp.maximum(1.0 - x, 1e-38))
+
+    padN = NP - N
+    wd_u = jnp.pad(consts.wd_u_row, (0, padN))
+    wd_i = jnp.pad(consts.wd_i_row, (0, padN))
+    log_u = _log1m(lrs[:, None, None] * wd_u[None, :, None])
+    log_i = _log1m(lrs[:, None, None] * wd_i[None, :, None])
+    log_bu = _log1m(lrs * consts.wd_user_bias)
+    log_bi = _log1m(lrs * consts.wd_item_bias)
+    lr_fbs = lrs * jnp.float32(scale_lr_ufeedback)
+    log_d = _log1m(lr_fbs * jnp.float32(wd_ufeedback))
+    log_db = _log1m(lr_fbs * jnp.float32(wd_ufeedback_bias))
+
+    cid = chunk_id.astype(jnp.int32)
+    pcid = jnp.roll(cid, 1)
+
+    padF = Fp - F
+    fbi = jnp.pad(fb["fb_idx"].astype(jnp.int32), ((0, 0), (0, padF)),
+                  constant_values=N)[:, None, :]
+    fbv = jnp.pad(fb["fb_val"], ((0, 0), (0, padF)))[:, None, :]
+    fbb = jnp.pad(fb["fb_ctx"].astype(jnp.int32), ((0, 0), (0, padF)),
+                  constant_values=nseg - 1)[:, None, :]
+    O = jnp.pad(fb_overlap, ((0, 0), (0, Gp - nseg), (0, Gp - nseg)))
+    gate = jnp.pad(enabled, ((0, 0), (0, Gp - nseg)))[:, None, :]
+
+    w_pad = jnp.pad(state.w, ((0, padN), (0, 0)))
+    b_pad = jnp.pad(state.b, (0, padN))[:, None]
+
+    def batch_spec(_):
+        return pl.BlockSpec(
+            (1, 1, GS), lambda r, t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    table_spec = pl.BlockSpec((NP, k), lambda r, t, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((NP, 1), lambda r, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, NP, 1), lambda r, t, *_: (r, 0, 0), memory_space=pltpu.VMEM
+    )
+    pool_cur = pl.BlockSpec(
+        (1, 1, Fp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pool_prev = pl.BlockSpec(
+        (1, 1, Fp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (pcid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    O_spec = pl.BlockSpec(
+        (1, Gp, Gp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gate_spec = pl.BlockSpec(
+        (1, 1, Gp),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(R, T),
+        in_specs=[
+            batch_spec(u_idx), batch_spec(u_val),
+            batch_spec(i_idx), batch_spec(i_val),
+            *[batch_spec(op) for op in ctx_ops],
+            batch_spec(label), batch_spec(weight),
+            row_spec, row_spec,
+            pool_cur, pool_cur, pool_cur, O_spec,
+            gate_spec,
+            pool_prev, pool_prev, pool_prev,
+            table_spec, bias_spec,
+        ],
+        out_specs=(table_spec, bias_spec),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, k + 2), jnp.float32),
+            pltpu.VMEM((Gp, 1), jnp.float32),
+            pltpu.VMEM((Gp, k + 1), jnp.float32),
+        ],
+    )
+    # operand index of w: 8 scalar prefetch + 4 u/i planes + D ctx planes
+    # + label/weight + 2 row-decay tables + 4 pool/overlap + gate
+    # + 3 prev-pool = 24 + D
+    w_op = 24 + D
+    w_out, b_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, k), jnp.float32),
+            jax.ShapeDtypeStruct((NP, 1), jnp.float32),
+        ),
+        input_output_aliases={w_op: 0, w_op + 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(
+        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid,
+        u_idx, u_val, i_idx, i_val, *ctx_ops, label, weight,
+        log_u, log_i,
+        fbi, fbv, fbb, O, gate,
         fbi, fbv, fbb,
         w_pad, b_pad,
     )

@@ -178,3 +178,84 @@ def test_pallas_svdpp_item_width2_matches_jnp_interpret(m):
         np.asarray(out.b), np.asarray(st.b), atol=5e-4, rtol=1e-3
     )
     assert int(out.step) == int(st.step)
+
+
+def synth_stacked_ds(seed=2, n_users=24):
+    """Depth-2 taxonomy families: per user START(user fb, first rows) ->
+    DEFAULT(own fb, rest; trains under [user, own]) -> END(user fb, 0
+    rows; pops through the same list, kddcup_combine_ugroup convention)."""
+    from svdfeature_tpu.data.csr import (
+        PlusBlock, PlusDataset, TAG_END, TAG_START,
+    )
+
+    base = synth_ds(seed=seed, n_users=n_users)
+    blocks = []
+    for blk in base.blocks():
+        n = blk.data.num_row
+        if n >= 2:
+            h = n // 2
+            half = max(1, len(blk.fb_index) // 2)
+            blocks += [
+                PlusBlock(blk.fb_index, blk.fb_value,
+                          blk.data.slice_rows(0, h), extend_tag=TAG_START),
+                PlusBlock(blk.fb_index[:half], blk.fb_value[:half],
+                          blk.data.slice_rows(h, n - h)),
+                PlusBlock(blk.fb_index, blk.fb_value,
+                          blk.data.slice_rows(n, 0), extend_tag=TAG_END),
+            ]
+        else:
+            blocks.append(blk)
+    return PlusDataset.from_blocks(blocks)
+
+
+@pytest.mark.parametrize("extra", [{}, {"no_user_bias": 1},
+                                   {"ufeedback_disable_level": 1}])
+def test_pallas_imfb_matches_carried_interpret(extra):
+    """Stacked multi-IMFB whole-run kernel (D>0 mode) vs the carried jnp
+    epoch, interpret mode — multi-hot context selector, depth gate."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops.imfb import train_epoch_imfb_carried
+    from svdfeature_tpu.ops.pallas_svdpp import train_rounds_imfb_pallas
+    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
+    ds = synth_stacked_ds()
+    tr = SVDPPMultiIMFBTrainer(
+        SVDTypeParam(format_type=svd_type.USER_GROUP_FORMAT, extend_type=2)
+    )
+    for n, v in {**P, "users_per_batch": 8, **extra}.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    assert not tr._plain_svdpp(ds)
+    stacked, chunk_id, fb, _, enabled, overlap = tr._pack_plus(ds)
+    assert stacked["ctx_slots"].shape[-1] == 2  # genuinely depth-2
+    fbh = (
+        tr.tparam.scale_lr_ufeedback,
+        tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    R = 2
+    lr = jnp.float32(tr.learning_rate)
+
+    st = jax.tree.map(jnp.copy, tr.state)
+    for _ in range(R):
+        st = train_epoch_imfb_carried(
+            st, stacked, chunk_id, fb, overlap, enabled, lr, tr.consts,
+            tr.hp, *fbh,
+        )
+
+    lrs = jnp.full((R,), lr, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = train_rounds_imfb_pallas(
+            jax.tree.map(jnp.copy, tr.state), stacked, chunk_id, fb,
+            overlap, enabled, lrs, tr.consts, tr.hp,
+            tr.model.off_user, tr.model.off_item, *fbh,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.w), np.asarray(st.w), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.b), np.asarray(st.b), atol=5e-4, rtol=1e-3
+    )
+    assert int(out.step) == int(st.step)
