@@ -259,3 +259,36 @@ def test_pallas_imfb_matches_carried_interpret(extra):
         np.asarray(out.b), np.asarray(st.b), atol=5e-4, rtol=1e-3
     )
     assert int(out.step) == int(st.step)
+
+
+def test_imfb_update_rounds_routes_to_pallas(monkeypatch):
+    """Solver wiring: stacked entries on a 'TPU' take the whole-run D>0
+    kernel through update_rounds (one fused dispatch), and learn."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops import embed, pallas_svdpp
+    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
+    monkeypatch.setattr(embed, "default_device_is_tpu", lambda: True)
+    calls = []
+    real = pallas_svdpp.train_rounds_imfb_pallas
+
+    def spy(*a, **kw):
+        calls.append(a[5].shape)  # lrs
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pallas_svdpp, "train_rounds_imfb_pallas", spy)
+
+    ds = synth_stacked_ds(n_users=80)
+    tr = SVDPPMultiIMFBTrainer(
+        SVDTypeParam(format_type=svd_type.USER_GROUP_FORMAT, extend_type=2)
+    )
+    for n, v in {**P, "users_per_batch": 128, "num_user": 80}.items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    with pltpu.force_tpu_interpret_mode():
+        tr.update_rounds(ds, 2)
+    assert calls and calls[0][0] == 2  # whole run, one dispatch, R=2
+    assert np.isfinite(np.asarray(tr.state.w)).all()
+    assert int(tr.state.step) == 2 * ds.rows.num_row
