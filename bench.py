@@ -146,6 +146,7 @@ def child_main(results_path: str) -> None:
         want = golden["basicMF"]["final_rmse"]
         return {
             "examples_per_sec": round(eps),
+            "vs_baseline": round(eps / golden["basicMF"]["examples_per_sec_cpu"], 2),
             "final_rmse": round(got, 5),
             "golden_rmse": want,
             "rmse_ok": abs(got - want) < 0.02,
@@ -174,8 +175,10 @@ def child_main(results_path: str) -> None:
         d = time.time() - t0
         got = rmse(t.predict_all(eds), eds.labels)
         want = golden[key]["final_rmse"]
+        eps = ROUNDS * tds.num_row / d
         put(key, {
-            "examples_per_sec": round(ROUNDS * tds.num_row / d),
+            "examples_per_sec": round(eps),
+            "vs_baseline": round(eps / golden[key]["examples_per_sec_cpu"], 2),
             "final_rmse": round(got, 5),
             "golden_rmse": want,
             "rmse_ok": abs(got - want) < 0.02,
@@ -234,8 +237,12 @@ def child_main(results_path: str) -> None:
         # (the reference trajectory overfits past its best ~0.9223 back to
         # 0.9371 by round 40; best-round parity is gated by the slow suite)
         want = float(golden["implicitFeedback"]["rmse_per_round"]["40"])
+        eps = ROUNDS * pds.rows.num_row / dt
         return {
-            "examples_per_sec": round(ROUNDS * pds.rows.num_row / dt),
+            "examples_per_sec": round(eps),
+            "vs_baseline": round(
+                eps / golden["implicitFeedback"]["examples_per_sec_cpu"], 2
+            ),
             "final_rmse": round(got, 5),
             "golden_final_rmse": want,
             "rmse_ok": abs(got - want) < 0.02,
