@@ -157,10 +157,15 @@ def _local_entries(batch, lo, n_real):
     return out["u"], out["i"]
 
 
-def _fwd_big(w, g, batch, hp, lr, consts, step0, lo, n_real, k):
+def _fwd_big(w, g, batch, hp, lr, consts, step0, lo, n_real, k,
+             p_u_extra=None, bias_extra=None):
     """Masked local augmented-row gathers (lazy catch-up on the copies,
     apex_svd_base.h:188-310 applied at gather time) -> psum'd
-    (p_u, p_i, bias) + replicated-global score term."""
+    (p_u, p_i, bias) + replicated-global score term.
+
+    p_u_extra/bias_extra: replicated per-slot additions applied AFTER the
+    psum, before the dot — the SVD++ feedback injection
+    (prepare_svdpp, apex_svd_base.h:506-509)."""
     (lu, uv, _), (li, iv, _) = _local_entries(batch, lo, n_real)
     rows_u = gather_rows(w, lu, row_dma=hp.row_dma)  # [B,S,W]
     rows_i = gather_rows(w, li, row_dma=hp.row_dma)
@@ -186,6 +191,10 @@ def _fwd_big(w, g, batch, hp, lr, consts, step0, lo, n_real, k):
     if not hp.no_user_bias:
         bias = bias + jnp.einsum("bs,bs->b", uv, bu)
     p_u, p_i, bias = jax.lax.psum((p_u, p_i, bias), "model")
+    if p_u_extra is not None:
+        p_u = p_u + p_u_extra
+    if bias_extra is not None:
+        bias = bias + bias_extra
     score = hp.base_score + bias + jnp.einsum("bk,bk->b", p_u, p_i)
     score = score + jnp.einsum("bs,bs->b", batch["g_val"], g[batch["g_idx"]])
     return p_u, p_i, score, (lu, uv), (li, iv)

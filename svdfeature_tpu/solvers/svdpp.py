@@ -98,9 +98,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     # (ops/svdpp_big.py); requires a disjoint feedback space — with
     # common_feedback_space=1 the small-table layout is kept (_build_hp)
     SUPPORTS_BIG_TABLE = True
-    # the SVD++ mesh body drives standard slabs (parallel/svdpp_mesh.py);
-    # the augmented big-slab layout is not wired for it
-    SUPPORTS_MESH_BIG = False
+    # mesh x big tables: slabs above ONEHOT_THRESHOLD route to the
+    # augmented big-slab SVD++ body (parallel/svdpp_mesh_big.py — dedup
+    # row updates + dedup pool writebacks), same auto rule as the base
+    # solver (solvers/base.py _init_mesh)
+    SUPPORTS_MESH_BIG = True
 
     def __init__(self, mtype):
         super().__init__(mtype)
@@ -354,6 +356,23 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self._train_packed(entry)
             self.learning_rate = saved
 
+    def _mesh_predict_fn(self, G, F, M):
+        """Sharded inference builder: standard slabs or (mesh_big) the
+        augmented big-slab forward (consts bound for the gather-time
+        lazy views)."""
+        if self._mesh_big:
+            from ..parallel.svdpp_mesh_big import sharded_svdpp_predict_big
+
+            inner = sharded_svdpp_predict_big(
+                self._mesh, self.hp, self._n_real, G, F, M=M
+            )
+            return lambda st, stacked, cid, fb: inner(
+                st, stacked, cid, fb, self.consts
+            )
+        from ..parallel.svdpp_mesh import sharded_svdpp_predict
+
+        return sharded_svdpp_predict(self._mesh, self.hp, self._n_pad, G, F, M=M)
+
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, overlap = entry
         if self._pallas_plus_ok(entry):
@@ -365,14 +384,24 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             M = self.rows_per_user
             G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = (G, F, M)
+            key = (G, F, M, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.svdpp_mesh import sharded_svdpp_rounds
+                if self._mesh_big:
+                    from ..parallel.svdpp_mesh_big import (
+                        sharded_svdpp_rounds_big as rounds_fn,
+                    )
 
-                self._plus_sharded[key] = sharded_svdpp_rounds(
+                    n_arg = self._n_real
+                else:
+                    from ..parallel.svdpp_mesh import (
+                        sharded_svdpp_rounds as rounds_fn,
+                    )
+
+                    n_arg = self._n_pad
+                self._plus_sharded[key] = rounds_fn(
                     self._mesh,
                     self.hp,
-                    self._n_pad,
+                    n_arg,
                     G,
                     F,
                     self.tparam.scale_lr_ufeedback,
@@ -854,12 +883,10 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                         arrays, packed.fb_arrays(), packed.num_blocks_local,
                         self.mesh_data, m.num_rows, m.param.num_global, M=M,
                     )
-                    key = ("pred", Gp, Fp, M)
+                    key = ("pred", Gp, Fp, M, self._mesh_big)
                     if key not in self._plus_sharded:
-                        from ..parallel.svdpp_mesh import sharded_svdpp_predict
-
-                        self._plus_sharded[key] = sharded_svdpp_predict(
-                            self._mesh, self.hp, self._n_pad, Gp, Fp, M=M
+                        self._plus_sharded[key] = self._mesh_predict_fn(
+                            Gp, Fp, M
                         )
                     rep = NamedSharding(self._mesh, P())
                     preds = self._plus_sharded[key](
@@ -906,13 +933,9 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             M = self.rows_per_user
             G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = ("pred", G, F, M)
+            key = ("pred", G, F, M, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.svdpp_mesh import sharded_svdpp_predict
-
-                self._plus_sharded[key] = sharded_svdpp_predict(
-                    self._mesh, self.hp, self._n_pad, G, F, M=M
-                )
+                self._plus_sharded[key] = self._mesh_predict_fn(G, F, M)
             preds = self._plus_sharded[key](self.state, stacked, chunk_id, fb)
             if jax.process_count() > 1:
                 from jax.experimental.multihost_utils import process_allgather

@@ -240,3 +240,61 @@ def test_big_layout_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(back.ref_ui), np.asarray(state.ref_ui)
         )
+
+
+@pytest.mark.parametrize("reg,m", [(0, 1), (1, 1), (4, 1), (5, 1), (0, 2)])
+def test_svdpp_mesh_big_config_path(reg, m):
+    """SVD++ x mesh x big slabs (parallel/svdpp_mesh_big.py): mesh_big=1
+    on the user-group solver must reproduce the single-device SVD++
+    trajectory — reg modes incl. lazy 4/5 and rows_per_user>1 — and
+    predict on the mesh from the augmented slabs."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer
+
+    rng = np.random.RandomState(3)
+    rows, fbs = [], []
+    for u in range(16):
+        r = rng.randint(2, 6)
+        for _ in range(r):
+            rows.append(f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 30)}:1")
+        nf = rng.randint(1, 5)
+        ids = rng.choice(12, size=nf, replace=False)
+        fbs.append(f"{r} {nf} " + " ".join(f"{j}:0.5" for j in ids))
+    ds = load_plus_text(
+        "x", "y", text="\n".join(rows), feedback_text="\n".join(fbs)
+    )
+    params = dict(
+        num_user=16, num_item=30, num_ufeedback=12, num_factor=8,
+        base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        wd_ufeedback=0.004, users_per_batch=4, reg_method=reg,
+        rows_per_user=m,
+    )
+
+    def run(extra):
+        tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2, "mesh_big": 1})
+    assert sh._mesh_big
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.model.b), np.asarray(ref.model.b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -621,3 +621,36 @@ def test_imfb_streaming_clear_error(tmp_path):
     tr.init_trainer()
     with pytest.raises(NotImplementedError, match="stacked multi-IMFB"):
         tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+
+
+def test_plus_streamed_mesh_big_matches_staged(tmp_path):
+    """streaming x mesh x big slabs for the SVD++ solver
+    (parallel/svdpp_mesh_big.py): all three scale axes at once on the
+    user-group format."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer()
+    for _ in range(2):
+        staged.update_all(ds)
+
+    streamed = make_plus_trainer(
+        extra=dict(mesh_data=2, mesh_model=2, mesh_big=1)
+    )
+    assert streamed._mesh_big
+    for _ in range(2):
+        streamed.update_all(src)
+
+    staged._sync_model_from_state()
+    streamed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(streamed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
