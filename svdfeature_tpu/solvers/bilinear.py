@@ -67,23 +67,44 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
     # to the small layout under common_feedback_space=1)
     SUPPORTS_BIG_TABLE = True
 
-    # mesh path: parallel/bilinear_mesh.py (standard slabs)
-    SUPPORTS_MESH_BIG = False
+    # mesh x big tables: slabs above ONEHOT_THRESHOLD route to the
+    # augmented big-slab bilinear body (parallel/bilinear_mesh_big.py —
+    # dedup row updates for BOTH the unified table and W_bi), same auto
+    # rule as the base solver (solvers/base.py _init_mesh)
+    SUPPORTS_MESH_BIG = True
 
     def _init_mesh(self) -> None:
         super()._init_mesh()
+        ni = self.mparam.num_item
+        if self._mesh_big:
+            # scratch-interleaved W_bi slabs for the dedup write path
+            from ..parallel.bilinear_mesh_big import shard_bi_big
+
+            self.W_bi, self._nb_real = shard_bi_big(self.W_bi, self._mesh)
+            return
         # row-shard W_bi over the model axis (padded, dummy last row)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.bilinear_mesh import pad_bi_rows
 
-        ni = self.mparam.num_item
         self._n_bi_pad = pad_bi_rows(ni, self.mesh_model)
         Wb = np.zeros((self._n_bi_pad, self.bparam.num_bi_feedback), np.float32)
         Wb[:ni] = np.asarray(self.W_bi)
         self.W_bi = jax.device_put(
             Wb, NamedSharding(self._mesh, P("model", None))
         )
+
+    def _wbi_host(self) -> np.ndarray:
+        """The logical [num_item, nbf] W_bi for IO/inspection, whatever
+        the device layout (plain, mesh-padded, or mesh-big interleaved)."""
+        ni = self.mparam.num_item
+        if self._mesh is not None and self._mesh_big:
+            from ..parallel.bilinear_mesh_big import unshard_bi_big
+
+            return np.asarray(
+                unshard_bi_big(self.W_bi, self.mesh_model, self._nb_real, ni)
+            )
+        return np.asarray(self.W_bi)[:ni]
 
 
     def _pallas_plus_ok(self, entry) -> bool:
@@ -128,8 +149,8 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
     def save_model(self, f: BinaryIO) -> None:
         super().save_model(f)
         f.write(self.bparam.to_bytes())
-        # de-pad the mesh's row-sharded W_bi for the on-disk layout
-        _write_t2d(f, np.asarray(self.W_bi)[: self.mparam.num_item])
+        # de-pad/de-interleave the mesh's row-sharded W_bi for disk
+        _write_t2d(f, self._wbi_host())
 
     # ---- packing: user-property matrix + filtered feedback pool -------------
     def _bi_extras(self, packed):
@@ -301,19 +322,35 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         if self._mesh is not None:
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]
-            key = ("bi", G, F)
+            key = ("bi", G, F, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.bilinear_mesh import sharded_bilinear_rounds
+                if self._mesh_big:
+                    from ..parallel.bilinear_mesh_big import (
+                        sharded_bilinear_rounds_big,
+                    )
 
-                self._plus_sharded[key] = sharded_bilinear_rounds(
-                    self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
-                    self.model.off_item, self.reg_bi_feedback,
-                    self.tparam.scale_lr_ufeedback,
-                    self.tparam.wd_ufeedback,
-                    self.tparam.wd_ufeedback_bias,
-                    self.slr_bi_feedback,
-                    self.wd_bi_feedback,
-                )
+                    self._plus_sharded[key] = sharded_bilinear_rounds_big(
+                        self._mesh, self.hp, self._n_real, self._nb_real,
+                        G, F, self.model.off_item, self.mparam.num_item,
+                        self.reg_bi_feedback,
+                        self.tparam.scale_lr_ufeedback,
+                        self.tparam.wd_ufeedback,
+                        self.tparam.wd_ufeedback_bias,
+                        self.slr_bi_feedback,
+                        self.wd_bi_feedback,
+                    )
+                else:
+                    from ..parallel.bilinear_mesh import sharded_bilinear_rounds
+
+                    self._plus_sharded[key] = sharded_bilinear_rounds(
+                        self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
+                        self.model.off_item, self.reg_bi_feedback,
+                        self.tparam.scale_lr_ufeedback,
+                        self.tparam.wd_ufeedback,
+                        self.tparam.wd_ufeedback_bias,
+                        self.slr_bi_feedback,
+                        self.wd_bi_feedback,
+                    )
             self.state, self.W_bi = self._plus_sharded[key](
                 self.state, self.W_bi, stacked, chunk_id, fb, up,
                 jnp.asarray([self.learning_rate], jnp.float32), self.consts,
@@ -369,6 +406,27 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             self.model.off_item,
         )
 
+    def _bi_predict_fn(self, G, F):
+        """Sharded bilinear inference builder: standard slabs or
+        (mesh_big) the augmented big-slab forward (consts bound for the
+        gather-time lazy views)."""
+        if self._mesh_big:
+            from ..parallel.bilinear_mesh_big import sharded_bilinear_predict_big
+
+            inner = sharded_bilinear_predict_big(
+                self._mesh, self.hp, self._n_real, self._nb_real, G, F,
+                self.model.off_item, self.mparam.num_item,
+            )
+            return lambda st, Wb, stacked, cid, fb, up: inner(
+                st, Wb, stacked, cid, fb, up, self.consts
+            )
+        from ..parallel.bilinear_mesh import sharded_bilinear_predict
+
+        return sharded_bilinear_predict(
+            self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
+            self.model.off_item,
+        )
+
     def predict_all(self, ds) -> np.ndarray:
         if hasattr(ds, "plan_caps"):  # streaming source: bounded-memory eval
             return self._predict_streamed_bi(ds)
@@ -382,14 +440,9 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         if self._mesh is not None:
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]
-            key = ("bi-pred", G, F)
+            key = ("bi-pred", G, F, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.bilinear_mesh import sharded_bilinear_predict
-
-                self._plus_sharded[key] = sharded_bilinear_predict(
-                    self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
-                    self.model.off_item,
-                )
+                self._plus_sharded[key] = self._bi_predict_fn(G, F)
             preds = np.asarray(
                 self._plus_sharded[key](
                     self.state, self.W_bi, stacked, chunk_id, fb, up
@@ -452,14 +505,9 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                     nbf = self.bparam.num_bi_feedback
                     pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
                     up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
-                key = ("bi-pred", Gp, Fp)
+                key = ("bi-pred", Gp, Fp, self._mesh_big)
                 if key not in self._plus_sharded:
-                    from ..parallel.bilinear_mesh import sharded_bilinear_predict
-
-                    self._plus_sharded[key] = sharded_bilinear_predict(
-                        self._mesh, self.hp, self._n_pad, self._n_bi_pad,
-                        Gp, Fp, self.model.off_item,
-                    )
+                    self._plus_sharded[key] = self._bi_predict_fn(Gp, Fp)
                 rep = NamedSharding(self._mesh, P())
                 preds = self._plus_sharded[key](
                     self.state,

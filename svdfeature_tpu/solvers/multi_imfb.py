@@ -23,9 +23,11 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     # (ops/imfb.train_epoch_imfb_big): row updates via _forward_entries +
     # dedup writes, context writebacks via _fb_writeback_big keyed fb_ctx
     SUPPORTS_BIG_TABLE = True
-    # mesh path: parallel/imfb_mesh.py (standard slabs; the augmented
-    # big-slab layout is not wired for it, same as SVD++)
-    SUPPORTS_MESH_BIG = False
+    # mesh x big tables: slabs above ONEHOT_THRESHOLD route to the
+    # augmented big-slab stacked body (parallel/imfb_mesh_big.py — dedup
+    # row updates + dedup context writebacks), same auto rule as the
+    # base solver (solvers/base.py _init_mesh)
+    SUPPORTS_MESH_BIG = True
 
     def __init__(self, mtype):
         super().__init__(mtype)
@@ -210,12 +212,22 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]
             nseg = enabled.shape[1]
-            key = ("imfb", G, F, nseg)
+            key = ("imfb", G, F, nseg, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.imfb_mesh import sharded_imfb_rounds
+                if self._mesh_big:
+                    from ..parallel.imfb_mesh_big import (
+                        sharded_imfb_rounds_big as rounds_fn,
+                    )
 
-                self._plus_sharded[key] = sharded_imfb_rounds(
-                    self._mesh, self.hp, self._n_pad, G, F, nseg,
+                    n_arg = self._n_real
+                else:
+                    from ..parallel.imfb_mesh import (
+                        sharded_imfb_rounds as rounds_fn,
+                    )
+
+                    n_arg = self._n_pad
+                self._plus_sharded[key] = rounds_fn(
+                    self._mesh, self.hp, n_arg, G, F, nseg,
                     self.tparam.scale_lr_ufeedback,
                     self.tparam.wd_ufeedback,
                     self.tparam.wd_ufeedback_bias,
@@ -278,13 +290,25 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             G = stacked["label"].shape[1]
             F = fb["fb_idx"].shape[1]
             nseg = enabled.shape[1]
-            key = ("imfb-pred", G, F, nseg)
+            key = ("imfb-pred", G, F, nseg, self._mesh_big)
             if key not in self._plus_sharded:
-                from ..parallel.imfb_mesh import sharded_imfb_predict
+                if self._mesh_big:
+                    from ..parallel.imfb_mesh_big import sharded_imfb_predict_big
 
-                self._plus_sharded[key] = sharded_imfb_predict(
-                    self._mesh, self.hp, self._n_pad, G, F, nseg
-                )
+                    inner = sharded_imfb_predict_big(
+                        self._mesh, self.hp, self._n_real, G, F, nseg
+                    )
+                    self._plus_sharded[key] = (
+                        lambda st, stacked, cid, fb: inner(
+                            st, stacked, cid, fb, self.consts
+                        )
+                    )
+                else:
+                    from ..parallel.imfb_mesh import sharded_imfb_predict
+
+                    self._plus_sharded[key] = sharded_imfb_predict(
+                        self._mesh, self.hp, self._n_pad, G, F, nseg
+                    )
             preds = np.asarray(
                 self._plus_sharded[key](self.state, stacked, chunk_id, fb)
             ).reshape(-1)

@@ -298,3 +298,138 @@ def test_svdpp_mesh_big_config_path(reg, m):
         np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("reg", [0, 4])
+def test_imfb_mesh_big_config_path(reg):
+    """Multi-IMFB x mesh x big slabs (parallel/imfb_mesh_big.py):
+    mesh_big=1 on the stacked-context solver must reproduce the
+    single-device stacked trajectory — nested contexts, a disabled stack
+    level, eager and lazy reg — and predict on the mesh from the
+    augmented slabs (the reference trains extend_type=2 like any other
+    solver at any table size, apex_multi_imfb.h:31-194)."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.csr import (
+        PlusBlock, PlusDataset, TAG_END, TAG_START,
+    )
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
+    rng = np.random.RandomState(5)
+    rows, fbs = [], []
+    for u in range(12):
+        r = rng.randint(2, 5)
+        for _ in range(r):
+            rows.append(f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 24)}:1")
+        nf = rng.randint(1, 5)
+        ids = rng.choice(10, size=nf, replace=False)
+        fbs.append(f"{r} {nf} " + " ".join(f"{j}:0.5" for j in ids))
+    base = load_plus_text(
+        "x", "y", text="\n".join(rows), feedback_text="\n".join(fbs)
+    )
+    # nest the first two users under a shared outer context (depth 2)
+    blocks = list(base.blocks())
+    nested = [
+        PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
+                  blocks[0].data, extend_tag=TAG_START),
+        PlusBlock(blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
+                  extend_tag=TAG_END),
+    ] + blocks[2:]
+    ds = PlusDataset.from_blocks(nested)
+    params = dict(
+        num_user=12, num_item=24, num_ufeedback=10, num_factor=8,
+        base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        wd_ufeedback=0.004, users_per_batch=4, reg_method=reg,
+        ufeedback_disable_level=1,
+    )
+
+    def run(extra):
+        tr = SVDPPMultiIMFBTrainer(
+            SVDTypeParam(format_type=1, extend_type=2)
+        )
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2, "mesh_big": 1})
+    assert sh._mesh_big
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.model.b), np.asarray(ref.model.b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("reg_bi,start", [(0, 0), (2, 2)])
+def test_bilinear_mesh_big_config_path(reg_bi, start):
+    """Bilinear x mesh x big slabs (parallel/bilinear_mesh_big.py):
+    mesh_big=1 on extend_type=15 must reproduce the single-device
+    trajectory — unified table, W_bi (dedup writes on scratch-interleaved
+    slabs) and predictions — across W_bi reg modes and the
+    start_ufeedback filter (the reference trains extend_type=15 like any
+    other solver at any table size, apex_svd_bilinear.h:28-212)."""
+    if len(cpu_devices()) < 4:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.text import load_plus_text
+    from svdfeature_tpu.params import SVDTypeParam
+    from svdfeature_tpu.solvers.bilinear import SVDBiLinearTrainer
+
+    rng = np.random.RandomState(11)
+    rows, fbs = [], []
+    for u in range(12):
+        r = rng.randint(2, 5)
+        for _ in range(r):
+            rows.append(f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 24)}:1")
+        nf = rng.randint(2, 6)
+        ids = rng.choice(12, size=nf, replace=False)
+        fbs.append(f"{r} {nf} " + " ".join(f"{j}:0.5" for j in ids))
+    ds = load_plus_text(
+        "x", "y", text="\n".join(rows), feedback_text="\n".join(fbs)
+    )
+    params = dict(
+        num_user=12, num_item=24, num_ufeedback=12, num_factor=8,
+        base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        wd_ufeedback=0.004, users_per_batch=4,
+        num_bi_feedback=10, wd_bi_feedback=0.01, reg_bi_feedback=reg_bi,
+        start_ufeedback=start,
+    )
+
+    def run(extra):
+        tr = SVDBiLinearTrainer(SVDTypeParam(format_type=1, extend_type=15))
+        for n, v in {**params, **extra}.items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        for _ in range(3):
+            tr.update_all(ds)
+        return tr
+
+    ref = run({})
+    sh = run({"mesh_data": 2, "mesh_model": 2, "mesh_big": 1})
+    assert sh._mesh_big
+    ref._sync_model_from_state()
+    sh._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(sh.model.w), np.asarray(ref.model.w), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sh._wbi_host(), ref._wbi_host(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.predict_all(ds)), np.asarray(ref.predict_all(ds)),
+        rtol=1e-4, atol=1e-5,
+    )
