@@ -77,11 +77,33 @@ def pack_imfb(
     num_user: Optional[int] = None,
     num_item: Optional[int] = None,
     num_ufeedback: Optional[int] = None,
+    initial_stack=None,
+    t_cap: int = 0,
+    f_cap: int = 0,
+    c_cap: int = 0,
+    d_cap: int = 0,
+    m_cap: int = 0,
+    seg_caps=None,
 ) -> PackedImfbBatches:
+    """initial_stack: contexts open at dataset entry (streamed fragments
+    of a larger tag stream, data/streaming.py) as (fb_index, fb_value,
+    depth) triples, innermost last; the walk seeds its stack with them,
+    so END/MIDDLE tags at the fragment head resolve against carried
+    scopes exactly as in the whole-dataset walk.  Contexts still open at
+    the fragment end are simply left unpopped — the next fragment
+    carries them.
+
+    t_cap/f_cap/c_cap/d_cap/m_cap/seg_caps: pad packed shapes to fixed
+    caps so every streamed fragment compiles to ONE program (same
+    discipline as pack_plus).  Under caps G is pinned to units_per_batch
+    and one all-padding chunk is reserved."""
     # --- walk the tag-driven stack
     contexts = []  # (fb_index, fb_value, depth)
     snapshots: List[List[int]] = []  # per block: active context ids
     stack: List[int] = []
+    for fbi_c, fbv_c, depth_c in initial_stack or ():
+        contexts.append((fbi_c, fbv_c, depth_c))
+        stack.append(len(contexts) - 1)
     for blk in ds.blocks():
         t = blk.extend_tag
         if t in (TAG_DEFAULT, TAG_START):
@@ -99,8 +121,15 @@ def pack_imfb(
         for bi in range(ds.num_block)
         if ds.block_row_ptr[bi + 1] > ds.block_row_ptr[bi]
     ]
+    use_caps = bool(t_cap or f_cap or c_cap or d_cap or m_cap)
     D = max((len(s) for _, s in units), default=1)
-    G = max(1, min(units_per_batch, len(units)))
+    if use_caps:
+        if d_cap and D > d_cap:
+            raise ValueError(f"stack depth {D} exceeds d_cap {d_cap}")
+        D = max(D, d_cap)
+        G = max(1, units_per_batch)
+    else:
+        G = max(1, min(units_per_batch, len(units)))
     chunks = [units[i : i + G] for i in range(0, len(units), G)]
     C = len(chunks)
 
@@ -118,6 +147,13 @@ def pack_imfb(
         (sum(len(contexts[c][0]) for c in cc) for cc in chunk_ctx), default=1
     )
     F = max(F, 1)
+    if use_caps:
+        if m_cap and M > m_cap:
+            raise ValueError(f"local context count {M} exceeds m_cap {m_cap}")
+        M = max(M, m_cap)
+        if f_cap and F > f_cap:
+            raise ValueError(f"chunk context pool {F} exceeds f_cap {f_cap}")
+        F = max(F, f_cap)
 
     rows_all = ds.rows
     R = rows_all.num_row
@@ -136,6 +172,16 @@ def pack_imfb(
         idx, val, rws = expand_segment(idx, val, rws, feat, scale)
         dummy = num_global if seg == 0 else num_rows_table
         pi, pv = _pad_segment(idx.astype(np.int64) + off, val, rws, R, dummy)
+        if seg_caps is not None:
+            cap = int(seg_caps[seg])
+            if pi.shape[1] > cap:
+                raise ValueError(
+                    f"segment {name} width {pi.shape[1]} exceeds cap {cap}"
+                )
+            if pi.shape[1] < cap:
+                pad = cap - pi.shape[1]
+                pi = np.pad(pi, ((0, 0), (0, pad)), constant_values=dummy)
+                pv = np.pad(pv, ((0, 0), (0, pad)))
         seg_padded.append((pi, pv))
         seg_widths.append(pi.shape[1])
 
@@ -144,23 +190,33 @@ def pack_imfb(
         for ch in chunks
     ]
     T = sum(Tcs)
+    C_out, T_out = C, T
+    if use_caps:
+        T_out = max(T, t_cap)
+        C_out = max(C + 1, c_cap)  # reserve the all-padding chunk
+        if t_cap and T > t_cap:
+            raise ValueError(f"packed scan length {T} exceeds t_cap {t_cap}")
+        if c_cap and C + 1 > c_cap:
+            raise ValueError(f"chunk count {C}+pad exceeds c_cap {c_cap}")
     dummy_row = num_rows_table
     out = {
-        "label": np.zeros((T, G), np.float32),
-        "weight": np.zeros((T, G), np.float32),
-        "g_idx": np.full((T, G, seg_widths[0]), num_global, np.int32),
-        "g_val": np.zeros((T, G, seg_widths[0]), np.float32),
-        "u_idx": np.full((T, G, seg_widths[1]), dummy_row, np.int32),
-        "u_val": np.zeros((T, G, seg_widths[1]), np.float32),
-        "i_idx": np.full((T, G, seg_widths[2]), dummy_row, np.int32),
-        "i_val": np.zeros((T, G, seg_widths[2]), np.float32),
-        "ctx_slots": np.full((T, G, D), M, np.int32),
+        "label": np.zeros((T_out, G), np.float32),
+        "weight": np.zeros((T_out, G), np.float32),
+        "g_idx": np.full((T_out, G, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T_out, G, seg_widths[0]), np.float32),
+        "u_idx": np.full((T_out, G, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T_out, G, seg_widths[1]), np.float32),
+        "i_idx": np.full((T_out, G, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T_out, G, seg_widths[2]), np.float32),
+        "ctx_slots": np.full((T_out, G, D), M, np.int32),
     }
-    chunk_id = np.zeros(T, np.int32)
-    fb_idx = np.full((C, F), dummy_row, np.int32)
-    fb_val = np.zeros((C, F), np.float32)
-    fb_ctx = np.full((C, F), M, np.int32)
-    ctx_depth = np.full((C, M), -1, np.int32)
+    # padding batch slots point at the reserved all-padding chunk (all
+    # contexts empty and depth -1, i.e. disabled; weights zero)
+    chunk_id = np.full(T_out, C_out - 1, np.int32)
+    fb_idx = np.full((C_out, F), dummy_row, np.int32)
+    fb_val = np.zeros((C_out, F), np.float32)
+    fb_ctx = np.full((C_out, F), M, np.int32)
+    ctx_depth = np.full((C_out, M), -1, np.int32)
     perm = np.zeros(R, np.int64)
 
     t0 = 0

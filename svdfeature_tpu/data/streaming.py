@@ -237,6 +237,120 @@ class StreamingPlusBuffer:
         self._caps_cache[(G, M)] = caps
         return caps
 
+    # ---- stacked multi-IMFB streams (tags = context push/pop protocol,
+    # apex_multi_imfb.h:31-194, not the split-user protocol) -------------
+    def _imfb_units(self):
+        """Replay the pre-scan through the multi-IMFB tag walk: returns
+        (per-block snapshots of context ids, per-context nfb, per-context
+        depth, unit block indices).  Pure function of phys — no data read."""
+        from .csr import TAG_DEFAULT, TAG_END, TAG_START
+
+        ctx_nfb: list = []
+        ctx_depth: list = []
+        snapshots: list = []
+        stack: list = []
+        units: list = []
+        for bi, (num_row, nfb, tag) in enumerate(self.phys):
+            if tag in (TAG_DEFAULT, TAG_START):
+                ctx_nfb.append(nfb)
+                ctx_depth.append(len(stack))
+                stack.append(len(ctx_nfb) - 1)
+            snapshots.append(list(stack))
+            if tag in (TAG_DEFAULT, TAG_END):
+                if not stack:
+                    raise ValueError(
+                        "start tag,end tag error in implicit feedback"
+                    )
+                stack.pop()
+            if num_row:
+                units.append(bi)
+        if stack:
+            raise ValueError("unterminated feedback context in buffer")
+        return snapshots, ctx_nfb, ctx_depth, units
+
+    def plan_caps_imfb(self, G: int) -> dict:
+        """Stable pack_imfb caps for streamed chunks of blocks_per_chunk
+        UNITS (blocks with rows), grouped G units per pack-chunk.  Mirrors
+        exactly the packing every chunk will perform (local-context
+        first-appearance order, pool sizes), so one compiled program
+        covers the whole stream."""
+        key = ("imfb", G)
+        if key in self._caps_cache:
+            return self._caps_cache[key]
+        snapshots, ctx_nfb, _, units = self._imfb_units()
+        K = self.blocks_per_chunk
+        t_cap = f_cap = c_cap = d_cap = m_cap = 1
+        for lo in range(0, len(units), K):
+            chunk_units = units[lo : lo + K]
+            n_groups = 0
+            t_c = 0
+            for g0 in range(0, len(chunk_units), G):
+                group = chunk_units[g0 : g0 + G]
+                t_c += max(self.phys[bi][0] for bi in group)
+                seen: list = []
+                for bi in group:
+                    d_cap = max(d_cap, len(snapshots[bi]))
+                    for c in snapshots[bi]:
+                        if c not in seen:
+                            seen.append(c)
+                m_cap = max(m_cap, len(seen))
+                f_cap = max(f_cap, sum(ctx_nfb[c] for c in seen))
+                n_groups += 1
+            t_cap = max(t_cap, t_c)
+            c_cap = max(c_cap, n_groups + 1)  # + the all-padding chunk
+        caps = dict(
+            t_cap=t_cap, f_cap=f_cap, c_cap=c_cap, d_cap=d_cap, m_cap=m_cap,
+            seg_caps=tuple(self.max_nnz),
+        )
+        self._caps_cache[key] = caps
+        return caps
+
+    def chunks_imfb(self):
+        """Yield (PlusDataset, initial_stack) fragments of at most
+        blocks_per_chunk UNITS each; initial_stack carries the contexts
+        still open at the fragment boundary as (fb_index, fb_value,
+        depth), innermost last, so pack_imfb resolves carried scopes
+        exactly as the whole-dataset walk."""
+        from .buffer import _read_csr_block
+        from .csr import (
+            PlusBlock,
+            PlusDataset,
+            TAG_DEFAULT,
+            TAG_END,
+            TAG_START,
+        )
+
+        with open(self.path, "rb") as f:
+            f.read(16)
+            blocks: list = []
+            n_units = 0
+            stack: list = []  # open contexts: (fb_index, fb_value, depth)
+            carry_in = []
+            for num_row, nfb, tag in self.phys:
+                (raw,) = struct.unpack("<i", f.read(4))
+                if raw < 0:
+                    f.read(4)
+                if nfb > 0:
+                    fb_index = np.frombuffer(f.read(4 * nfb), "<u4").copy()
+                    fb_value = np.frombuffer(f.read(4 * nfb), "<f4").copy()
+                else:
+                    fb_index = np.zeros(0, np.uint32)
+                    fb_value = np.zeros(0, np.float32)
+                data = _read_csr_block(f)
+                blocks.append(PlusBlock(fb_index, fb_value, data, extend_tag=tag))
+                if tag in (TAG_DEFAULT, TAG_START):
+                    stack.append((fb_index, fb_value, len(stack)))
+                if tag in (TAG_DEFAULT, TAG_END):
+                    stack.pop()
+                if num_row:
+                    n_units += 1
+                    if n_units == self.blocks_per_chunk:
+                        yield PlusDataset.from_blocks(blocks), carry_in
+                        blocks, n_units = [], 0
+                        carry_in = list(stack)
+            if blocks:
+                yield PlusDataset.from_blocks(blocks), carry_in
+
     def chunks(self) -> Iterator[PlusDataset]:
         """Yield PlusDatasets of at most blocks_per_chunk logical blocks."""
         from .buffer import _read_csr_block
@@ -265,6 +379,46 @@ class StreamingPlusBuffer:
                         blocks, logical = [], 0
             if blocks:
                 yield PlusDataset.from_blocks(blocks)
+
+
+def stream_train_round_imfb(trainer, source: StreamingPlusBuffer, prefetch: int = 2):
+    """One stacked multi-IMFB training round over a streaming user-group
+    source (the reference trains extend_type=2 from its buffer iterator
+    like every solver, apex-utils/apex_buffer_loader.h:39-233 feeding
+    apex_multi_imfb.h:31-194).  Same producer/consumer discipline as
+    stream_train_round_plus; open feedback contexts carry across chunk
+    boundaries via pack_imfb's initial_stack, and the trajectory equals
+    whole-dataset packing when blocks_per_chunk is a multiple of
+    users_per_batch (pinned by tests/test_streaming.py)."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    caps = source.plan_caps_imfb(trainer.users_per_batch)
+
+    def produce():
+        try:
+            for chunk, carry in source.chunks_imfb():
+                if stop.is_set():
+                    return
+                entry = trainer.pack_imfb_chunk(chunk, carry, caps)
+                if not _put_checking_stop(q, trainer.stage_chunk_imfb(entry), stop):
+                    return
+        except BaseException as e:  # pragma: no cover
+            _put_checking_stop(q, e, stop)
+            return
+        _put_checking_stop(q, None, stop)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            trainer.train_chunk_imfb(item)
+    finally:
+        _drain_and_join(q, stop, t)
 
 
 def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int = 2):

@@ -99,13 +99,162 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     def _stream_round_plus(self, ds) -> None:
         if self._plain_svdpp(ds):
             return super()._stream_round_plus(ds)
-        raise NotImplementedError(
-            "streaming=1 is not implemented for stacked multi-IMFB "
-            "sources: the stream's cap pre-scan does not bound stacked-"
-            "context counts per chunk (pack_imfb has no cap-stable "
-            "streamed form); stage the dataset (streaming=0).  All-"
-            "DEFAULT streams degenerate to SVD++ and do stream."
+        # stacked out-of-core training: the reference trains extend_type=2
+        # from its binary buffer in bounded memory like every solver
+        # (apex_buffer_loader.h:39-233 feeding apex_multi_imfb.h:31-194);
+        # here the stream's stacked-aware cap pre-scan bounds per-chunk
+        # (depth, contexts, pool entries) and open contexts carry across
+        # chunks (StreamingPlusBuffer.plan_caps_imfb / chunks_imfb)
+        from ..data.streaming import stream_train_round_imfb
+
+        if self.rows_per_user > 1:
+            raise NotImplementedError(
+                "rows_per_user > 1 applies to the plain SVD++ solver only"
+            )
+        bpc = ds.blocks_per_chunk
+        if bpc % self.users_per_batch:
+            new = max(self.users_per_batch, bpc - bpc % self.users_per_batch)
+            import warnings
+
+            warnings.warn(
+                f"streaming: blocks_per_chunk={bpc} is not a multiple of "
+                f"users_per_batch={self.users_per_batch}; rounding to {new} "
+                "to keep the staged-run trajectory guarantee"
+            )
+            ds.blocks_per_chunk = new
+        stream_train_round_imfb(self, ds)
+
+    def _imfb_enabled(self, ctx_depth: np.ndarray) -> np.ndarray:
+        """Per-(chunk, local-context) update gate from the stack depths
+        (ufeedback_disable_level, apex_multi_imfb.h:54-63); the extra
+        last column is the always-off pad slot."""
+        enabled = np.ones(
+            (ctx_depth.shape[0], ctx_depth.shape[1] + 1), np.float32
         )
+        enabled[:, -1] = 0.0  # pad slot
+        for lvl in self.disable_levels:
+            enabled[:, :-1][ctx_depth == lvl] = 0.0
+        enabled[:, :-1][ctx_depth < 0] = 0.0  # unused slots
+        return enabled
+
+    # ---- streaming (out-of-core stacked sources) ------------------------
+    def pack_imfb_chunk(self, chunk, carry, caps: dict):
+        """Pack one streamed stacked chunk to the stream's stable shapes;
+        ``carry`` holds the feedback contexts still open at the chunk
+        boundary (pack_imfb initial_stack)."""
+        m = self.model
+        caps = dict(caps)
+        caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
+        packed = pack_imfb(
+            chunk,
+            self.users_per_batch,
+            m.num_rows,
+            m.param.num_global,
+            m.off_user,
+            m.off_item,
+            m.off_ufeedback,
+            feat_user=self.feat_user,
+            feat_item=self.feat_item,
+            num_user=m.param.num_user,
+            num_item=m.param.num_item,
+            num_ufeedback=m.param.num_ufeedback,
+            initial_stack=carry,
+            **caps,
+        )
+        enabled = self._imfb_enabled(packed.ctx_depth)
+        arrays = packed.device_arrays()
+        perm = packed.perm
+        if self._mesh is not None:
+            from ..parallel.imfb_mesh import pad_imfb_for_mesh
+
+            nseg = packed.ctx_depth.shape[1] + 1
+            arrays.pop("chunk_id", None)
+            fbd = {
+                k: getattr(packed, k) for k in ("fb_idx", "fb_val", "fb_ctx")
+            }
+            G = packed.label.shape[1]
+            arrays, fbd, Gp, _ = pad_imfb_for_mesh(
+                arrays, fbd, G, self.mesh_data, m.num_rows,
+                m.param.num_global, nseg,
+            )
+            perm = (perm // G) * Gp + perm % G
+            overlap = None
+        else:
+            fbd = packed.fb_arrays()
+            overlap = None
+            if not m.param.common_feedback_space:
+                from ..data.batching_plus import compute_fb_overlap
+
+                overlap = compute_fb_overlap(
+                    packed.fb_idx, packed.fb_val, packed.fb_ctx,
+                    packed.ctx_depth.shape[1],
+                )
+        return (arrays, packed.chunk_id, fbd, enabled, overlap, perm)
+
+    def stage_chunk_imfb(self, entry):
+        """Device staging for one packed stacked chunk (mesh-aware)."""
+        arrays, chunk_id, fbd, enabled, overlap, perm = entry
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import put_process_sharded
+
+            rep = NamedSharding(self._mesh, P())
+            return (
+                put_process_sharded(arrays, self._mesh),
+                jax.device_put(chunk_id, rep),
+                {k: jax.device_put(v, rep) for k, v in fbd.items()},
+                jax.device_put(enabled, rep),
+                None,
+                perm,
+            )
+        return (
+            jax.device_put(arrays),
+            jax.device_put(chunk_id),
+            jax.device_put(fbd),
+            jax.device_put(enabled),
+            None if overlap is None else jax.device_put(overlap),
+            perm,
+        )
+
+    def train_chunk_imfb(self, entry) -> None:
+        arrays, chunk_id, fbd, enabled, overlap, _ = entry
+        self._train_packed((arrays, chunk_id, fbd, None, enabled, overlap))
+
+    def _predict_streamed_imfb(self, ds) -> np.ndarray:
+        """Bounded-memory prediction over a streamed stacked source."""
+        caps = ds.plan_caps_imfb(self.users_per_batch)
+        out = []
+        for chunk, carry in ds.chunks_imfb():
+            entry = self.stage_chunk_imfb(self.pack_imfb_chunk(chunk, carry, caps))
+            arrays, chunk_id, fbd, enabled, _, perm = entry
+            if self._mesh is not None:
+                G = arrays["label"].shape[1]
+                F = fbd["fb_idx"].shape[1]
+                nseg = enabled.shape[1]
+                key = ("imfb-pred", G, F, nseg, self._mesh_big)
+                if key not in self._plus_sharded:
+                    self._plus_sharded[key] = self._imfb_mesh_predict_fn(
+                        G, F, nseg
+                    )
+                preds = self._plus_sharded[key](
+                    self.state, arrays, chunk_id, fbd
+                )
+                if jax.process_count() > 1:
+                    from jax.experimental.multihost_utils import (
+                        process_allgather,
+                    )
+
+                    preds = process_allgather(preds, tiled=True)
+                out.append(np.asarray(preds).reshape(-1)[perm])
+                continue
+            preds = np.asarray(
+                predict_batches_imfb(
+                    self.state_or_model(), arrays, chunk_id, fbd, self.hp
+                )
+            ).reshape(-1)
+            out.append(preds[perm])
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
 
     def set_param(self, name: str, val: str) -> None:
         if name == "ufeedback_disable_level":
@@ -136,12 +285,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
             )
-            depth = packed.ctx_depth  # [C, M]
-            enabled = np.ones((depth.shape[0], depth.shape[1] + 1), np.float32)
-            enabled[:, -1] = 0.0  # pad slot
-            for lvl in self.disable_levels:
-                enabled[:, :-1][depth == lvl] = 0.0
-            enabled[:, :-1][depth < 0] = 0.0  # unused slots
+            enabled = self._imfb_enabled(packed.ctx_depth)
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -275,7 +419,26 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             self.tparam.wd_ufeedback_bias,
         )
 
+    def _imfb_mesh_predict_fn(self, G, F, nseg):
+        """Sharded stacked inference builder (standard or big slabs)."""
+        if self._mesh_big:
+            from ..parallel.imfb_mesh_big import sharded_imfb_predict_big
+
+            inner = sharded_imfb_predict_big(
+                self._mesh, self.hp, self._n_real, G, F, nseg
+            )
+            return lambda st, stacked, cid, fb: inner(
+                st, stacked, cid, fb, self.consts
+            )
+        from ..parallel.imfb_mesh import sharded_imfb_predict
+
+        return sharded_imfb_predict(self._mesh, self.hp, self._n_pad, G, F, nseg)
+
     def predict_all(self, ds) -> np.ndarray:
+        if hasattr(ds, "plan_caps"):  # streaming source
+            if self._plain_svdpp(ds):
+                return super().predict_all(ds)
+            return self._predict_streamed_imfb(ds)
         if isinstance(ds, PlusDataset) and self._plain_svdpp(ds):
             return super().predict_all(ds)
         if hasattr(ds, "epoch_dataset"):
@@ -292,23 +455,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             nseg = enabled.shape[1]
             key = ("imfb-pred", G, F, nseg, self._mesh_big)
             if key not in self._plus_sharded:
-                if self._mesh_big:
-                    from ..parallel.imfb_mesh_big import sharded_imfb_predict_big
-
-                    inner = sharded_imfb_predict_big(
-                        self._mesh, self.hp, self._n_real, G, F, nseg
-                    )
-                    self._plus_sharded[key] = (
-                        lambda st, stacked, cid, fb: inner(
-                            st, stacked, cid, fb, self.consts
-                        )
-                    )
-                else:
-                    from ..parallel.imfb_mesh import sharded_imfb_predict
-
-                    self._plus_sharded[key] = sharded_imfb_predict(
-                        self._mesh, self.hp, self._n_pad, G, F, nseg
-                    )
+                self._plus_sharded[key] = self._imfb_mesh_predict_fn(G, F, nseg)
             preds = np.asarray(
                 self._plus_sharded[key](self.state, stacked, chunk_id, fb)
             ).reshape(-1)

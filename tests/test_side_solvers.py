@@ -430,9 +430,8 @@ def test_imfb_degenerate_routes_to_svdpp():
 
 def test_imfb_degenerate_streams(tmp_path):
     """streaming=1 composes with multi-IMFB on all-DEFAULT buffers (the
-    degenerate SVD++ route); stacked streams keep the documented refusal."""
-    import pytest
-
+    degenerate SVD++ route); stacked streams train out-of-core too
+    (tests/test_streaming.py::test_imfb_stacked_streamed_matches_staged)."""
     from svdfeature_tpu.data.buffer import write_plus_buffer
     from svdfeature_tpu.data.streaming import StreamingPlusBuffer
 
@@ -451,7 +450,7 @@ def test_imfb_degenerate_streams(tmp_path):
         np.asarray(staged.state.w), np.asarray(streamed.state.w)
     )
 
-    # a stacked stream still refuses with the documented message
+    # a stacked stream trains out-of-core and matches the staged run
     blocks = list(ds.blocks())
     nested = [
         PlusBlock(blocks[0].fb_index[:2], blocks[0].fb_value[:2],
@@ -459,9 +458,16 @@ def test_imfb_degenerate_streams(tmp_path):
         PlusBlock(np.zeros(0, np.uint32), np.zeros(0, np.float32),
                   blocks[1].data, extend_tag=TAG_END),
     ] + blocks[2:]
+    sds = PlusDataset.from_blocks(nested)
     spath = str(tmp_path / "s.buffer")
-    write_plus_buffer(spath, PlusDataset.from_blocks(nested))
+    write_plus_buffer(spath, sds)
     ssrc = StreamingPlusBuffer(spath, blocks_per_chunk=4)
-    t = make(SVDPPMultiIMFBTrainer)
-    with pytest.raises(NotImplementedError, match="stacked multi-IMFB"):
-        t._stream_round_plus(ssrc)
+    s_staged = make(SVDPPMultiIMFBTrainer)
+    s_streamed = make(SVDPPMultiIMFBTrainer)
+    for _ in range(2):
+        s_staged.update_all(sds)
+        s_streamed.update_all(ssrc)
+    np.testing.assert_allclose(
+        np.asarray(s_staged.state.w), np.asarray(s_streamed.state.w),
+        atol=1e-6,
+    )

@@ -588,39 +588,129 @@ def test_bilinear_streamed_matches_staged(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_imfb_streaming_clear_error(tmp_path):
-    """STACKED multi-IMFB x streaming refuses with a clear message
-    instead of a shape crash; all-DEFAULT streams degenerate to SVD++
-    and stream fine (tests/test_side_solvers.py::test_imfb_degenerate_streams)."""
-    from svdfeature_tpu.data.buffer import write_plus_buffer
-    from svdfeature_tpu.data.csr import TAG_END, TAG_START
-    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
-    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+def make_stacked_ds():
+    """A genuinely stacked multi-IMFB tag stream over make_plus_ds's 12
+    blocks: two START..MIDDLE..END scopes (with DEFAULT blocks nested
+    inside the first) chosen so streamed chunks of 4 units cut BOTH
+    scopes mid-stream — the open-context carry path is exercised."""
+    from svdfeature_tpu.data.csr import (
+        TAG_DEFAULT, TAG_END, TAG_MIDDLE, TAG_START,
+    )
 
     pds = make_plus_ds()
     blocks = list(pds.blocks())
-    blocks[0] = type(blocks[0])(
-        blocks[0].fb_index, blocks[0].fb_value, blocks[0].data,
-        extend_tag=TAG_START,
-    )
-    blocks[1] = type(blocks[1])(
-        blocks[1].fb_index, blocks[1].fb_value, blocks[1].data,
-        extend_tag=TAG_END,
-    )
-    pds = type(pds).from_blocks(blocks)
-    path = str(tmp_path / "p.buffer")
-    write_plus_buffer(path, pds)
+    tags = [
+        TAG_START, TAG_DEFAULT, TAG_DEFAULT, TAG_MIDDLE,  # chunk 1 | scope 1 open
+        TAG_END, TAG_DEFAULT, TAG_START, TAG_DEFAULT,     # chunk 2 | scope 2 open
+        TAG_MIDDLE, TAG_END, TAG_DEFAULT, TAG_DEFAULT,    # chunk 3
+    ]
+    blocks = [
+        type(b)(b.fb_index, b.fb_value, b.data, extend_tag=t)
+        for b, t in zip(blocks, tags)
+    ]
+    return type(pds).from_blocks(blocks)
+
+
+def make_imfb_trainer(extra=None):
+    from svdfeature_tpu.solvers.multi_imfb import SVDPPMultiIMFBTrainer
+
     tr = SVDPPMultiIMFBTrainer(SVDTypeParam(format_type=1, extend_type=2))
-    for k, v in dict(
-        num_user=12, num_item=30, num_factor=8, base_score=3,
+    params = dict(
+        num_user=12, num_item=12, num_factor=8, base_score=3,
         learning_rate=0.01, wd_user=0.004, wd_item=0.004,
-        num_ufeedback=30, wd_ufeedback=0.004,
-    ).items():
+        num_ufeedback=15, wd_ufeedback=0.004, users_per_batch=2,
+    )
+    params.update(extra or {})
+    for k, v in params.items():
         tr.set_param(k, str(v))
     tr.init_model()
     tr.init_trainer()
-    with pytest.raises(NotImplementedError, match="stacked multi-IMFB"):
-        tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+    return tr
+
+
+def test_imfb_stacked_streamed_matches_staged(tmp_path):
+    """STACKED multi-IMFB trains out-of-core: open feedback contexts
+    carry across streamed chunks (pack_imfb initial_stack) and the
+    trajectory equals staging the whole dataset — the reference's
+    buffer iterator feeds extend_type=2 like every solver
+    (apex_buffer_loader.h:39-233 -> apex_multi_imfb.h:31-194)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_imfb_trainer()
+    streamed = make_imfb_trainer()
+    for _ in range(3):
+        staged.update_all(pds)
+        streamed.update_all(src)
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.w), np.asarray(staged.state.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.b), np.asarray(staged.state.b), atol=1e-6
+    )
+    # streamed eval: bounded-memory chunked scoring matches staged
+    np.testing.assert_allclose(
+        streamed.predict_all(src), staged.predict_all(pds), atol=1e-5
+    )
+
+
+def test_imfb_stacked_streamed_disable_level(tmp_path):
+    """ufeedback_disable_level composes with stacked streaming (the gate
+    is applied per streamed chunk from carried depths)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_imfb_trainer(extra=dict(ufeedback_disable_level=1))
+    streamed = make_imfb_trainer(extra=dict(ufeedback_disable_level=1))
+    for _ in range(2):
+        staged.update_all(pds)
+        streamed.update_all(src)
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.w), np.asarray(staged.state.w), atol=1e-6
+    )
+
+
+def test_imfb_stacked_streamed_mesh_matches_staged(tmp_path):
+    """stacked multi-IMFB x streaming x mesh: the sharded stacked body
+    trains from a streamed source with context carry."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_imfb_trainer()
+    for _ in range(2):
+        staged.update_all(pds)
+
+    meshed = make_imfb_trainer(extra=dict(mesh_data=2, mesh_model=2))
+    for _ in range(2):
+        meshed.update_all(src)
+
+    staged._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    got = meshed.predict_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+    np.testing.assert_allclose(
+        got, staged.predict_all(pds), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_plus_streamed_mesh_big_matches_staged(tmp_path):
