@@ -106,6 +106,86 @@ class PairSource:
             return np.concatenate(prs), np.concatenate(nrs), counts
         return np.zeros(0, np.int64), np.zeros(0, np.int64), counts
 
+    def pair_geometry(self):
+        """Static method-0 sampling geometry (epoch-invariant, cached):
+        the positive/negative candidate sets in block-contiguous order,
+        per-candidate block starts, and the pair -> candidate-position
+        maps of the cyclic fill.  Everything about an epoch's sample
+        except the two permutations — the operands of sample_offsets()
+        and of device-side plane assembly
+        (solvers/svdpp._pair_multi_train)."""
+        if getattr(self, "_pair_geo", None) is not None:
+            return self._pair_geo
+        cfg = self.cfg
+        labels = self._rows_cat.labels
+        NB = len(self.blocks)
+        sizes = np.array([b.data.num_row for b in self.blocks], np.int64)
+        blk = np.repeat(np.arange(NB, dtype=np.int64), sizes)
+        rows = np.arange(len(labels), dtype=np.int64)
+        pos_mask = labels - cfg.pos_sample_lowerb > -1e-6
+        neg_mask = labels - cfg.neg_sample_upperb < 1e-6
+        pos_rows, pos_blk = rows[pos_mask], blk[pos_mask]
+        neg_rows, neg_blk = rows[neg_mask], blk[neg_mask]
+        P_b = np.bincount(pos_blk, minlength=NB)
+        N_b = np.bincount(neg_blk, minlength=NB)
+        live = (P_b > 0) & (N_b > 0)
+        snum = (
+            N_b if cfg.rank_sample_num < 0
+            else np.full(NB, cfg.rank_sample_num, np.int64)
+        )
+        snum = np.where(live, np.minimum(snum, cfg.rank_sample_max), 0)
+        pstart = np.cumsum(P_b) - P_b
+        nstart = np.cumsum(N_b) - N_b
+        sstart = np.cumsum(snum) - snum
+        bb = np.repeat(np.arange(NB), snum)
+        jj = np.arange(int(snum.sum()), dtype=np.int64) - sstart[bb]
+        self._pair_geo = dict(
+            pos_rows=pos_rows.astype(np.int32),
+            neg_rows=neg_rows.astype(np.int32),
+            # block start of each candidate POSITION (positions are
+            # block-contiguous, so this is also the local-offset base)
+            pstart_elem=pstart[pos_blk].astype(np.int32),
+            nstart_elem=nstart[neg_blk].astype(np.int32),
+            # pair s -> candidate position (cyclic fill, j % count)
+            jp=(pstart[bb] + jj % np.maximum(P_b[bb], 1)).astype(np.int32),
+            jn=(nstart[bb] + jj % np.maximum(N_b[bb], 1)).astype(np.int32),
+            off_dtype=(
+                np.uint16
+                if max(P_b.max(initial=0), N_b.max(initial=0)) < (1 << 16)
+                else np.int32
+            ),
+        )
+        return self._pair_geo
+
+    def sample_offsets(self, n_rounds: int, rng):
+        """``n_rounds`` epochs of method-0 sampling, as block-LOCAL
+        permutation offsets: round r, candidate position p holds the
+        local index of the candidate that round r's permutation places
+        at p.  Law-equivalent to _sample_block (same thresholds, one
+        uniform permutation per (round, block, set), cyclic fill) but a
+        different stream: positions are keyed by iid uniforms and sorted
+        in one batched argsort instead of ~2 RandomState.permutation
+        calls per block — ~6x less host time per round, which is what
+        keeps the one-ahead producer thread faster than the device epoch
+        (solvers/svdpp._train_pair_rounds_host).  Per-position rank
+        parity with the reference never holds anyway (its PRNG differs);
+        the P@20 metric is the contract (tests/test_golden_full.py)."""
+        geo = self.pair_geometry()
+        P, N = len(geo["pos_rows"]), len(geo["neg_rows"])
+        dt = geo["off_dtype"]
+
+        def perm(base, count):
+            # key = block + u sorts within blocks (block segments stay
+            # contiguous); subtracting the per-position base yields the
+            # block-local offsets directly
+            key = base[None, :] + rng.random((n_rounds, count))
+            return (np.argsort(key, axis=1) - base[None, :]).astype(dt)
+
+        return (
+            perm(geo["pstart_elem"].astype(np.float64), P),
+            perm(geo["nstart_elem"].astype(np.float64), N),
+        )
+
     def epoch_dataset(self) -> PlusDataset:
         cfg = self.cfg
         # legacy per-block path: pointwise emission or a test-overridden

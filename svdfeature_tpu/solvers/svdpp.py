@@ -73,6 +73,42 @@ def _pair_assemble_train(
     static_argnames=("hp", "G", "M", "T", "GS", "off_user", "off_item"),
     donate_argnums=(0,),
 )
+def _pair_multi_train(
+    state, opl, onl, lrs, consts, sk_dev, geo, chunk_id, fb, overlap, fbh,
+    *, hp, G, M, T, GS, off_user, off_item,
+):
+    """K rounds in ONE dispatch from host-sampled PERMUTATIONS: the
+    planes ship as block-local permutation offsets (uint16 — ~4x less
+    tunnel transfer than row-id planes) and the (pos, neg) row planes are
+    assembled in-dispatch by three static gathers (candidate tables +
+    cyclic pair map + slot placement, data/rank.pair_geometry)."""
+    from ..ops.pallas_svdpp import train_rounds_svdpp_pallas
+
+    K = lrs.shape[0]
+    Rr = sk_dev["u_row_idx"].shape[0] - 1  # dummy row = padding target
+
+    def planes(offs, rows_tbl, base, jmap):
+        perm = rows_tbl[base[None, :] + offs.astype(jnp.int32)]  # [K, P]
+        pairs = perm[:, jmap]  # [K, S] sampled row ids, epoch order
+        pad = jnp.full((K, 1), Rr, jnp.int32)
+        return jnp.concatenate([pairs, pad], axis=1)[:, geo["slot_inv"]]
+
+    fp = planes(opl, geo["pos_rows"], geo["pstart_elem"], geo["jp"])
+    fn_ = planes(onl, geo["neg_rows"], geo["nstart_elem"], geo["jn"])
+    stacked = _pair_stacked(
+        sk_dev, fp.reshape(K * T, GS), fn_.reshape(K * T, GS)
+    )
+    return train_rounds_svdpp_pallas(
+        state, stacked, chunk_id, fb, overlap, lrs, consts,
+        hp, G, M, off_user, off_item, *fbh,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hp", "G", "M", "T", "GS", "off_user", "off_item"),
+    donate_argnums=(0,),
+)
 def _pair_device_train(
     state, key, lrs, consts, sk_dev, chunk_id, fb, overlap, st, fbh,
     *, hp, G, M, T, GS, off_user, off_item,
@@ -135,6 +171,15 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         # convergence and stays off by default).
         self.rank_sort_pairs = 1
         self.rank_rows_per_user = 8
+        # pair-epoch batch width: the whole-run kernel's per-slot cost
+        # nearly DOUBLES once GS = users_per_batch * rows_per_user crosses
+        # 1024 (VMEM pressure of the [GS, slab] one-hot tiles; measured
+        # 0.083 -> 0.14 ms per 1k slots on v5e), and 64 users x 8 rows
+        # also packs the skewed pair counts 74% full — together ~2x
+        # faster rounds than the 128-user default (17.5 vs 35 ms on the
+        # ML-100K rank demo).  Like the other rank_* keys this only fills
+        # in when the user left users_per_batch unset.
+        self.rank_users_per_batch = 64
         # on-device pair resampling (ops/pair_sample.py): fuses sampling +
         # assembly + the whole run in ONE device dispatch with zero
         # per-round host work/transfer.  Same sampling law as the host
@@ -148,12 +193,16 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         self.rank_device_sample = 0
         self.rank_device_seed = 10
         self._explicit_sort = False
+        self._explicit_upb = False
         self._explicit_rpu = False
         self._pair_layout_applied = False
 
     def set_param(self, name: str, val: str) -> None:
         if name == "users_per_batch":
             self.users_per_batch = int(val)
+            self._explicit_upb = True
+        if name == "rank_users_per_batch":
+            self.rank_users_per_batch = int(val)
         if name == "sort_blocks":
             self.sort_blocks = int(val)
             self._explicit_sort = True
@@ -181,6 +230,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self.sort_blocks = 1
         if not self._explicit_rpu and self.rank_rows_per_user:
             self.rows_per_user = self.rank_rows_per_user
+        if not self._explicit_upb and self.rank_users_per_batch:
+            self.users_per_batch = self.rank_users_per_batch
 
     def _build_hp(self):
         import dataclasses
@@ -320,6 +371,12 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 # whole run in one dispatch: on-device resampling (fresh
                 # pairs per round ride per-round data planes)
                 self._train_pair_rounds_device(ds, lrs)
+                return
+            if self._pair_host_multi_ok(ds):
+                # K rounds per dispatch from host-sampled permutation
+                # offsets (default TPU rank path; see
+                # _train_pair_rounds_host)
+                self._train_pair_rounds_host(ds, lrs)
                 return
             for lr in lrs:
                 saved = self.learning_rate
@@ -740,6 +797,94 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             off_user=self.model.off_user,
             off_item=self.model.off_item,
         )
+
+    # K rounds per _pair_multi_train dispatch: large enough to amortize
+    # tunnel round-trips (one 2x[K, P-ish] uint16 transfer per block),
+    # small enough that the producer's batched sampling (~6 ms/round)
+    # stays ahead of the device (~17.5 ms/round on the ML-100K demo)
+    PAIR_BLOCK_ROUNDS = 8
+
+    def _pair_host_multi_ok(self, ds) -> bool:
+        """Multi-round host-sampled path: TPU + Pallas-eligible skeleton
+        + the method-0 law (pair_geometry covers exactly _sample_block's
+        method 0).  The per-round path (_train_pair_round) keeps the
+        exact sequential numpy stream for round-at-a-time drivers (the
+        ranker state machine, per-round model saves)."""
+        from ..ops.embed import default_device_is_tpu
+
+        if not (
+            self.use_pallas
+            and default_device_is_tpu()
+            and self._pair_skeleton_ok(ds)
+            and ds.cfg.rank_sample_method == 0
+        ):
+            return False
+        if self._pair_sk is None or self._pair_src != id(ds):
+            self._pair_sk = self._build_pair_skeleton(ds)
+            self._pair_src = id(ds)
+            self._pair_future = None
+        return self._pair_sk["use_pallas"]
+
+    def _train_pair_rounds_host(self, ds, lrs) -> None:
+        """lrs rounds in ceil(R/K) _pair_multi_train dispatches; block
+        j+1's batched sampling (data/rank.sample_offsets) runs on the
+        producer thread while block j trains."""
+        sk = self._pair_sk
+        if "geo" not in sk:
+            geo = ds.pair_geometry()
+            S = len(geo["jp"])
+            slot_inv = np.full(sk["TGS"], S, np.int64)
+            slot_inv[sk["slot"]] = np.arange(S)
+            sk["geo"] = jax.device_put(
+                {
+                    k: geo[k]
+                    for k in (
+                        "pos_rows", "neg_rows", "pstart_elem",
+                        "nstart_elem", "jp", "jn",
+                    )
+                }
+                | {"slot_inv": slot_inv.astype(np.int32)}
+            )
+            sk["multi_rng"] = np.random.default_rng(self.rank_device_seed)
+        if self._pair_pool is None:
+            import concurrent.futures
+
+            self._pair_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pairgen"
+            )
+
+        K = self.PAIR_BLOCK_ROUNDS
+        blocks = [lrs[i: i + K] for i in range(0, len(lrs), K)]
+
+        def sample(n):
+            opl, onl = ds.sample_offsets(n, sk["multi_rng"])
+            return jax.device_put((opl, onl))
+
+        fut = self._pair_pool.submit(sample, len(blocks[0]))
+        for j, blk_lrs in enumerate(blocks):
+            opl, onl = fut.result()
+            if j + 1 < len(blocks):
+                fut = self._pair_pool.submit(sample, len(blocks[j + 1]))
+            self.state = _pair_multi_train(
+                self.state,
+                opl,
+                onl,
+                jnp.asarray(blk_lrs, jnp.float32),
+                self.consts,
+                sk["dev"],
+                sk["geo"],
+                sk["chunk_id"],
+                sk["fb"],
+                sk["overlap"],
+                self._fbh(),
+                hp=self.hp,
+                G=sk["G"],
+                M=sk["M"],
+                T=sk["T"],
+                GS=sk["GS"],
+                off_user=self.model.off_user,
+                off_item=self.model.off_item,
+            )
 
     def _train_pair_round(self, ds) -> None:
         """One skeleton-path round, next round's sampling one-ahead on the

@@ -333,6 +333,82 @@ def test_device_sampler_law():
     np.testing.assert_array_equal(fn, fn2)
 
 
+def test_sample_offsets_law():
+    """Host permutation-offset sampling (pair_geometry + sample_offsets)
+    obeys the reference method-0 law like the device sampler: assembling
+    the planes exactly as _pair_multi_train does (candidate-table gather +
+    cyclic pair map) yields same-user candidates of the right polarity
+    with cyclic-permutation coverage, fresh across rounds, and the pair
+    count per block matches epoch_pairs."""
+    ds = _noglobal_pair_ds()
+    cfg = IteratorConfig()
+    src = PairSource(ds, cfg, seed=9)
+    geo = src.pair_geometry()
+    rng = np.random.default_rng(5)
+    K = 3
+    opl, onl = src.sample_offsets(K, rng)
+    assert opl.dtype == geo["off_dtype"] and onl.dtype == geo["off_dtype"]
+
+    rows = src._rows_cat
+    Rr = rows.num_row
+    labels = rows.labels
+    row_starts = np.asarray(src._row_starts, np.int64)
+    row_block = np.searchsorted(row_starts, np.arange(Rr), side="right") - 1
+    _, _, counts = src.epoch_pairs()
+    blk_of_pair = np.repeat(np.arange(len(counts)), counts)
+    assert len(geo["jp"]) == counts.sum()  # same pair count per epoch
+
+    for plane_offs, rows_tbl, base, jmap, cond in (
+        (opl, geo["pos_rows"], geo["pstart_elem"], geo["jp"],
+         labels - cfg.pos_sample_lowerb > -1e-6),
+        (onl, geo["neg_rows"], geo["nstart_elem"], geo["jn"],
+         labels - cfg.neg_sample_upperb < 1e-6),
+    ):
+        for r in range(K):
+            # the numpy mirror of _pair_multi_train.planes()
+            perm = rows_tbl[base + plane_offs[r].astype(np.int64)]
+            # permutation: each candidate appears exactly once
+            assert len(np.unique(perm)) == len(perm)
+            sampled = perm[jmap]
+            np.testing.assert_array_equal(row_block[sampled], blk_of_pair)
+            assert cond[sampled].all()
+            # cyclic coverage: per-candidate counts differ by <= 1
+            for b in np.unique(blk_of_pair):
+                c = np.bincount(
+                    sampled[blk_of_pair == b], minlength=Rr
+                )[np.nonzero((row_block == b) & cond)[0]]
+                assert c.max() - c.min() <= 1
+        # fresh across rounds
+        assert (plane_offs[0] != plane_offs[1]).any()
+
+
+def test_pair_host_multi_path_trains_interpret(monkeypatch):
+    """End-to-end host multi-round path (_pair_host_multi_ok ->
+    _train_pair_rounds_host): batched permutation-offset sampling +
+    in-dispatch plane assembly + whole-run Pallas kernel, interpret
+    mode, learns the pair ordering like the per-round path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "default_device_is_tpu", lambda: True)
+    ds = _noglobal_pair_ds()
+    tr = _mini_rank_trainer(
+        [("users_per_batch", "16"), ("num_global", "0"),
+         ("num_user", "60"), ("num_item", "100"), ("num_ufeedback", "130"),
+         ("learning_rate", "0.02")]
+    )
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    with pltpu.force_tpu_interpret_mode():
+        tr._apply_pair_layout()
+        assert tr._pair_host_multi_ok(src)
+        tr.update_rounds(src, 10)
+    # the multi path ran (geometry cached on the skeleton), over 2 blocks
+    assert tr._pair_sk is not None and "geo" in tr._pair_sk
+    p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
+    assert np.mean(p > 0.5) > 0.9
+
+
 def test_pair_device_path_trains_interpret(monkeypatch):
     """End-to-end device path (_pair_device_ok -> _train_pair_rounds_device):
     on-device resampling + whole-run Pallas kernel, interpret mode, learns
