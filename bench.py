@@ -17,6 +17,14 @@ vs_baseline compares against the reference C++ binary's measured
 throughput on this machine's CPU (golden/GOLDEN.json) — the only
 hardware the reference runs on.
 
+Measurement discipline: every workload runs BENCH_REPS (default 3)
+timed repetitions and reports best + median + spread (the tunnel shows
+up to ~2x variance); each result carries a bytes-moved traffic model,
+achieved GB/s, % of the v5e HBM peak, and the named binding resource;
+RMSE gates are per-workload bands (RMSE_BANDS) around the reference
+golden, an order of magnitude tighter than the old flat 0.02, and
+pairwiseRank carries its own P@20 gate on the path being measured.
+
 Robustness (the remote axon TPU is exclusive and FLAKY — a wedged
 remote end hangs backend init or dispatch for the whole process
 lifetime):
@@ -52,6 +60,74 @@ import time
 
 ROOT = pathlib.Path(__file__).parent
 RESULTS = ROOT / ".bench_results_last.jsonl"
+
+# ---- quality gates ------------------------------------------------------
+# Per-workload RMSE bands around the reference golden, sized from the
+# observed deterministic deltas of the batched/multirow trajectories
+# (basicMF 0.0005, neighborhoodModel 0.0018, binaryClassification 0.0001,
+# implicitFeedback M=8 0.0053) plus headroom — NOT the old flat 0.02,
+# which would have passed a real ~0.01 drift.  tests/test_config.py
+# pins that a 0.01 drift flips every gate.
+RMSE_BANDS = {
+    "basicMF": 0.005,
+    "neighborhoodModel": 0.006,
+    "binaryClassification": 0.003,
+    "implicitFeedback": 0.008,
+}
+
+
+def rmse_gate(key: str, got: float, want: float) -> dict:
+    band = RMSE_BANDS[key]
+    return {
+        "final_rmse": round(got, 5),
+        "golden_rmse": want,
+        "rmse_delta": round(got - want, 5),
+        "rmse_band": band,
+        "rmse_ok": abs(got - want) < band,
+    }
+
+
+# ---- measurement discipline --------------------------------------------
+# The remote-tunnel device shows up to ~2x run-to-run variance with
+# occasional multi-second congestion stalls; single samples are not
+# claims.  Every workload times BENCH_REPS (>=3) full runs and reports
+# best + median + spread so a multiplier can be read against the noise.
+REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
+
+
+def timed_reps(run) -> dict:
+    """Times REPS calls of run(); returns best/median seconds + spread."""
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    ts = sorted(times)
+    return {
+        "reps": REPS,
+        "best_s": round(ts[0], 4),
+        "median_s": round(ts[len(ts) // 2], 4),
+        "spread": round(ts[-1] / ts[0], 2),
+    }
+
+
+# ---- roofline accounting -------------------------------------------------
+# v5e single-chip HBM peak; the denominator for "is this actually fast".
+# Demo-scale workloads run whole-run Pallas kernels with VMEM-resident
+# tables, so their HBM traffic is the per-round data planes only and the
+# binding resource is the sequential per-block scan, not bandwidth —
+# the `bound` field names the wall per workload (models in PERF.md).
+HBM_PEAK_GBPS = 819.0
+
+
+def roofline(bytes_per_round: float, rounds: int, seconds: float, bound: str) -> dict:
+    gbps = bytes_per_round * rounds / max(seconds, 1e-9) / 1e9
+    return {
+        "traffic_model_mb_per_round": round(bytes_per_round / 1e6, 2),
+        "achieved_gb_per_sec": round(gbps, 2),
+        "pct_hbm_peak": round(100.0 * gbps / HBM_PEAK_GBPS, 2),
+        "bound": bound,
+    }
 
 
 # ======================================================================
@@ -122,42 +198,7 @@ def child_main(results_path: str) -> None:
 
     ROUNDS = 40
 
-    # ---- basicMF (primary) ---------------------------------------------
-    def bench_basic():
-        train_ds = load_feature_text("x", text=fx("ml100k.base.feature.gz"))
-        test_ds = load_feature_text("x", text=fx("ml100k.test.feature.gz"))
-        params = BASIC + [("batch_size", "4096")]
-        tr = make(SVDFeatureTrainer, {}, params)
-        tr.update_rounds(train_ds, ROUNDS)
-        _ = int(tr.state.step)  # value fetch: see module docstring
-        dt = None
-        # ~2x run-to-run tunnel variance: time twice, report the better
-        for _ in range(2):
-            tr = make(SVDFeatureTrainer, {}, params)
-            tr._pack(train_ds)  # staging excluded, like the reference's
-            # buffer-creation step is excluded from its timing
-            t0 = time.time()
-            tr.update_rounds(train_ds, ROUNDS)
-            _ = int(tr.state.step)
-            d = time.time() - t0
-            dt = d if dt is None else min(dt, d)
-        eps = ROUNDS * train_ds.num_row / dt
-        got = rmse(tr.predict_all(test_ds), test_ds.labels)
-        want = golden["basicMF"]["final_rmse"]
-        return {
-            "examples_per_sec": round(eps),
-            "vs_baseline": round(eps / golden["basicMF"]["examples_per_sec_cpu"], 2),
-            "final_rmse": round(got, 5),
-            "golden_rmse": want,
-            "rmse_ok": abs(got - want) < 0.02,
-        }
-
-    try:
-        put("basicMF", bench_basic())
-    except Exception as e:  # pragma: no cover
-        print(f"WARNING: basicMF bench failed: {e}", file=sys.stderr)
-
-    # ---- neighborhoodModel / binaryClassification ------------------------
+    # ---- basicMF / neighborhoodModel / binaryClassification ---------------
     def run_basic_like(key, train_name, test_name, extra, mtype_kw):
         tds = load_feature_text("x", text=fx(train_name))
         eds = load_feature_text("x", text=fx(test_name))
@@ -165,25 +206,45 @@ def child_main(results_path: str) -> None:
             ("batch_size", "4096")
         ]
         t = make(SVDFeatureTrainer, mtype_kw, p)
-        t.update_rounds(tds, ROUNDS)
-        _ = int(t.state.step)
-        t = make(SVDFeatureTrainer, mtype_kw, p)
-        t._pack(tds)
-        t0 = time.time()
-        t.update_rounds(tds, ROUNDS)
-        _ = int(t.state.step)
-        d = time.time() - t0
-        got = rmse(t.predict_all(eds), eds.labels)
-        want = golden[key]["final_rmse"]
-        eps = ROUNDS * tds.num_row / d
+        t.update_rounds(tds, ROUNDS)  # compile
+        _ = int(t.state.step)  # value fetch: see module docstring
+        last = {}
+
+        def one():
+            t = make(SVDFeatureTrainer, mtype_kw, p)
+            t._pack(tds)  # staging excluded, like the reference's
+            # buffer-creation step is excluded from its timing
+            t0 = time.time()
+            t.update_rounds(tds, ROUNDS)
+            _ = int(t.state.step)
+            last["tr"] = t
+
+        stats = timed_reps(one)
+        eps = ROUNDS * tds.num_row / stats["best_s"]
+        got = rmse(last["tr"].predict_all(eds), eds.labels)
+        # HBM model: VMEM-resident whole-run kernel; traffic = the packed
+        # per-round data planes (u/i idx+val + label + weight, ~24 B/ex,
+        # + 2 global idx/val pairs when present)
+        ng = int(dict(p).get("num_global", "0") or 0)
+        plane_b = tds.num_row * (24 + (16 if ng else 0))
         put(key, {
             "examples_per_sec": round(eps),
+            "examples_per_sec_median": round(ROUNDS * tds.num_row / stats["median_s"]),
             "vs_baseline": round(eps / golden[key]["examples_per_sec_cpu"], 2),
-            "final_rmse": round(got, 5),
-            "golden_rmse": want,
-            "rmse_ok": abs(got - want) < 0.02,
+            **stats,
+            **rmse_gate(key, got, golden[key]["final_rmse"]),
+            **roofline(plane_b, ROUNDS, stats["best_s"],
+                       "sequential batch scan, tables VMEM-resident"),
         })
+        return eps
 
+    try:
+        run_basic_like(
+            "basicMF", "ml100k.base.feature.gz", "ml100k.test.feature.gz",
+            [], {},
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: basicMF bench failed: {e}", file=sys.stderr)
     try:
         run_basic_like(
             "neighborhoodModel", "ml100k.base.nb.feature.gz",
@@ -223,29 +284,41 @@ def child_main(results_path: str) -> None:
         tp = make(SVDPPFeatureTrainer, dict(format_type=1), pp)
         tp.update_rounds(pds, ROUNDS)  # compile (fused Pallas whole-run)
         _ = int(tp.state.step)
-        dt = None
-        for _ in range(2):
+        last = {}
+
+        def one():
             tp = make(SVDPPFeatureTrainer, dict(format_type=1), pp)
             tp._pack_plus(pds)  # staging excluded, like basicMF
             t0 = time.time()
             tp.update_rounds(pds, ROUNDS)
             _ = int(tp.state.step)
-            d = time.time() - t0
-            dt = d if dt is None else min(dt, d)
-        got = rmse(tp.predict_all(eds), eds.rows.labels)
+            last["tr"] = tp
+
+        stats = timed_reps(one)
+        got = rmse(last["tr"].predict_all(eds), eds.rows.labels)
         # compare like-for-like: round-40 RMSE vs the reference's round-40
         # (the reference trajectory overfits past its best ~0.9223 back to
         # 0.9371 by round 40; best-round parity is gated by the slow suite)
         want = float(golden["implicitFeedback"]["rmse_per_round"]["40"])
-        eps = ROUNDS * pds.rows.num_row / dt
+        eps = ROUNDS * pds.rows.num_row / stats["best_s"]
+        nfb = sum(len(b.fb_index) for b in pds.blocks())
+        gate = rmse_gate("implicitFeedback", got, want)
+        gate["golden_final_rmse"] = gate.pop("golden_rmse")
         return {
             "examples_per_sec": round(eps),
+            "examples_per_sec_median": round(
+                ROUNDS * pds.rows.num_row / stats["median_s"]
+            ),
             "vs_baseline": round(
                 eps / golden["implicitFeedback"]["examples_per_sec_cpu"], 2
             ),
-            "final_rmse": round(got, 5),
-            "golden_final_rmse": want,
-            "rmse_ok": abs(got - want) < 0.02,
+            **stats,
+            **gate,
+            # planes (~24 B/ex) + feedback-pool entry planes (8 B/entry);
+            # pool + tables are VMEM-resident in the whole-run kernel
+            **roofline(pds.rows.num_row * 24 + nfb * 8, ROUNDS,
+                       stats["best_s"],
+                       "sequential chunk scan, tables+pool VMEM-resident"),
         }
 
     svdpp_res = None
@@ -284,21 +357,24 @@ def child_main(results_path: str) -> None:
                       dict(format_type=1, extend_type=2), pp + extra)
             tp.update_rounds(data, 2)  # compile
             _ = int(tp.state.step)
-            dt = None
-            for _ in range(2):
+
+            def one():
                 tp = make(SVDPPMultiIMFBTrainer,
                           dict(format_type=1, extend_type=2), pp + extra)
                 tp._pack_plus(data)
                 t0 = time.time()
                 tp.update_rounds(data, rounds)
                 _ = int(tp.state.step)
-                d = time.time() - t0
-                dt = d if dt is None else min(dt, d)
-            return round(rounds * data.rows.num_row / dt)
 
-        res = {"examples_per_sec": measure(
+            stats = timed_reps(one)
+            return round(rounds * data.rows.num_row / stats["best_s"]), stats
+
+        eps_default, stats_default = measure(
             pds, [("sort_blocks", "1"), ("rows_per_user", "8")]
-        )}
+        )
+        res = {"examples_per_sec": eps_default,
+               "reps": stats_default["reps"],
+               "spread": stats_default["spread"]}
         if svdpp_res:
             res["vs_svdpp"] = round(
                 res["examples_per_sec"] / svdpp_res["examples_per_sec"], 3
@@ -335,7 +411,15 @@ def child_main(results_path: str) -> None:
             else:
                 stacked_blocks.append(blk)
         sds = PlusDataset.from_blocks(stacked_blocks)
-        res["stacked_examples_per_sec"] = measure(sds, [])
+        eps_st, stats_st = measure(sds, [])
+        res["stacked_examples_per_sec"] = eps_st
+        res["stacked_spread"] = stats_st["spread"]
+        # reference binary on the SAME stacked transform, this host's CPU
+        # (golden/GOLDEN.json multiIMFBStacked, min of 3 full runs)
+        st_base = golden.get("multiIMFBStacked", {}).get("examples_per_sec_cpu")
+        if st_base:
+            res["stacked_examples_per_sec_cpu_reference"] = st_base
+            res["stacked_vs_baseline"] = round(eps_st / st_base, 2)
         return res
 
     try:
@@ -344,15 +428,17 @@ def child_main(results_path: str) -> None:
         print(f"WARNING: multiIMFB bench failed: {e}", file=sys.stderr)
 
     # ---- pairwiseRank (PairSource + SIGMOID_RANK) --------------------------
-    # Skeleton pair epochs (solvers/svdpp._train_pair_round): the packed
-    # layout is epoch-invariant, so each round ships only the sampled
-    # (pos_row, neg_row) planes, resampled one round ahead on a producer
-    # thread; assembly + the epoch run in one Pallas dispatch.  P@20
-    # parity is gated by tests/test_golden_full.py (slow suite) and was
-    # confirmed on-device (scripts/bench_rank_device.py).
+    # Multi-round pair epochs (solvers/svdpp._train_pair_rounds_host): the
+    # packed layout is epoch-invariant, so the run ships only block-local
+    # permutation offsets (uint16, native Fisher-Yates sampled one block
+    # ahead on a producer thread), K=8 rounds per dispatch with in-dispatch
+    # packed-table plane assembly.  P@20 on the multi path is checked
+    # below against the golden; the per-round CLI path keeps the exact
+    # numpy stream and is gated by tests/test_golden_full.py.
     def bench_rank():
         from svdfeature_tpu.data.rank import PairSource
         from svdfeature_tpu.data.registry import IteratorConfig
+        from svdfeature_tpu.solvers.ranker import SVDFeatureRanker
 
         train = load_plus_text(
             "x", "y",
@@ -368,6 +454,7 @@ def child_main(results_path: str) -> None:
             ("num_ufeedback", "1682"), ("wd_ufeedback", "0.004"),
             ("no_user_bias", "1"),
         ]
+        last = {}
 
         def run(rounds):
             src = PairSource(train, IteratorConfig(), seed=10)
@@ -375,20 +462,41 @@ def child_main(results_path: str) -> None:
                       dict(format_type=1, active_type=3), pp)
             tr.update_rounds(src, rounds)
             _ = int(tr.state.step)
-            return tr, src
+            last["tr"] = tr
 
-        run(1)  # compile
+        run(1)  # compile (K=1 block)
+        run(ROUNDS)  # compile (K=8 blocks)
         n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
-        dt = None
-        for _ in range(2):
-            t0 = time.time()
-            tr, _ = run(ROUNDS)
-            d = time.time() - t0
-            dt = d if dt is None else min(dt, d)
+        stats = timed_reps(lambda: run(ROUNDS))
+        eps = ROUNDS * n_pairs / stats["best_s"]
         res = {
-            "examples_per_sec": round(ROUNDS * n_pairs / dt),
+            "examples_per_sec": round(eps),
+            "examples_per_sec_median": round(ROUNDS * n_pairs / stats["median_s"]),
             "pairs_per_round": n_pairs,
+            **stats,
+            # offsets upload + in-dispatch assembly intermediates
+            # (packed-table planes, ~48 B/slot) + kernel data planes
+            **roofline(n_pairs * 72, ROUNDS, stats["best_s"],
+                       "assembly gathers + sequential block scan"),
         }
+        # quality gate on the path just measured: rank the test protocol
+        # with the multi-path-trained model (same eval as
+        # demo/pairwiseRank/eval.py and the slow golden gate)
+        test = load_plus_text(
+            "x", "y",
+            text=fx("ml100k.rank.test.feature.gz"),
+            feedback_text=fx("ml100k.rank.test.feedback.gz"),
+        )
+        rk = SVDFeatureRanker(last["tr"].mtype)
+        last["tr"]._sync_model_from_state()
+        rk.model = last["tr"].model
+        rk.init_ranker(1682)
+        ranks = rk.process_dataset(test)
+        p20 = float(sum(1 for v in ranks if int(v) < 20) / (943 * 20.0))
+        want_p20 = golden["pairwiseRank"]["precision_at_20"]
+        res["precision_at_20"] = round(p20, 5)
+        res["golden_precision_at_20"] = want_p20
+        res["p20_ok"] = abs(p20 - want_p20) < 0.003
         # reference 40-round wall time on the same 3N workload (its pair
         # counts follow the same deterministic formula,
         # apex_svd_data.cpp:812-1025)
@@ -449,19 +557,31 @@ def child_main(results_path: str) -> None:
         rmse0 = rmse(tb.predict_all(probe), probe.labels)
         tb.update_rounds(bds, 1)  # compile + warm
         _ = int(tb.state.step)
-        t0 = time.time()
-        tb.update_rounds(bds, BR)
-        _ = int(tb.state.step)
-        d = time.time() - t0
-        big_eps = round(BR * EX / d)
+
+        def one():
+            tb.update_rounds(bds, BR)
+            _ = int(tb.state.step)
+
+        stats = timed_reps(one)
+        big_eps = round(BR * EX / stats["best_s"])
         rmse1 = rmse(tb.predict_all(probe), probe.labels)
+        # HBM model: the table (augmented 128-lane rows) cannot be
+        # VMEM-resident — per batch the step gathers the touched rows
+        # (read), rewrites the deduped rows (write), and the sweep path
+        # re-reads+rewrites the swept tiles; planes are noise at this
+        # scale.  Approximate as 3 row-moves per example (fwd gather,
+        # grad gather reuse, dedup write) x 512 B.
         res = {
             "examples_per_sec": big_eps,
+            "examples_per_sec_median": round(BR * EX / stats["median_s"]),
             "table_rows": NU + NI,
             "write_path": "sweep" if tb.hp.sweep_table else "dedup",
             "rmse_start": round(rmse0, 5),
             "rmse_after": round(rmse1, 5),
             "learning_ok": rmse1 < rmse0,
+            **stats,
+            **roofline(EX * 3 * 512, BR, stats["best_s"],
+                       "row-granular gather/write ops (~30-55 ns/row)"),
         }
         # reference C++ binary on the same synthetic, this host's CPU
         # (golden/GOLDEN.json, regenerated by golden/provenance_run_golden.sh)

@@ -212,4 +212,52 @@ void pad_segment(const int64_t *starts, const int64_t *counts, int64_t num_row,
     }
 }
 
+// Batched per-block Fisher-Yates permutations for the pairwise-rank
+// sampler (data/rank.sample_offsets): `rounds` independent uniform
+// permutations of each block's candidate set, written as block-LOCAL
+// offsets in block-contiguous candidate order ([rounds, total], uint16
+// when elem16 else int32).  O(total) per round vs the numpy argsort
+// fallback's O(total log total) with large constants — this is what
+// keeps the one-ahead producer thread ahead of the device epoch.
+void block_shuffle(void *out, int32_t elem16, const int64_t *block_sizes,
+                   int64_t nblocks, int64_t rounds, uint64_t seed) {
+    // splitmix64 stream; Lemire bounded rand (rejection-free 64->32 mix
+    // bias is < 2^-32 for block sizes < 2^16 — far below any observable
+    // effect at these scales)
+    uint64_t s = seed ? seed : 0x9e3779b97f4a7c15ULL;
+    auto next = [&s]() {
+        uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+        return z ^ (z >> 31);
+    };
+    int64_t total = 0;
+    for (int64_t b = 0; b < nblocks; ++b) total += block_sizes[b];
+    for (int64_t r = 0; r < rounds; ++r) {
+        if (elem16) {
+            uint16_t *o = (uint16_t *)out + r * total;
+            for (int64_t b = 0; b < nblocks; ++b) {
+                const int64_t n = block_sizes[b];
+                for (int64_t i = 0; i < n; ++i) o[i] = (uint16_t)i;
+                for (int64_t i = n - 1; i > 0; --i) {
+                    uint64_t j = ((next() >> 32) * (uint64_t)(i + 1)) >> 32;
+                    uint16_t t = o[i]; o[i] = o[j]; o[j] = t;
+                }
+                o += n;
+            }
+        } else {
+            int32_t *o = (int32_t *)out + r * total;
+            for (int64_t b = 0; b < nblocks; ++b) {
+                const int64_t n = block_sizes[b];
+                for (int64_t i = 0; i < n; ++i) o[i] = (int32_t)i;
+                for (int64_t i = n - 1; i > 0; --i) {
+                    uint64_t j = ((next() >> 32) * (uint64_t)(i + 1)) >> 32;
+                    int32_t t = o[i]; o[i] = o[j]; o[j] = t;
+                }
+                o += n;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         c.c_int64, c.c_int64, c.c_void_p, c.c_void_p,
     ]
     lib.pad_segment.restype = None
+    lib.block_shuffle.argtypes = [
+        c.c_void_p, c.c_int32, c.c_void_p, c.c_int64, c.c_int64, c.c_uint64,
+    ]
+    lib.block_shuffle.restype = None
     _lib = lib
     return _lib
 
@@ -141,3 +145,22 @@ def pad_segment_native(
         S, dummy, out_idx.ctypes.data, out_val.ctypes.data,
     )
     return out_idx, out_val
+
+
+def block_shuffle_native(
+    block_sizes: np.ndarray, rounds: int, seed: int, elem16: bool
+) -> Optional[np.ndarray]:
+    """`rounds` uniform per-block permutations as block-local offsets,
+    [rounds, sum(block_sizes)] (uint16 when elem16).  None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    block_sizes = np.ascontiguousarray(block_sizes, np.int64)
+    total = int(block_sizes.sum())
+    out = np.empty((rounds, total), np.uint16 if elem16 else np.int32)
+    lib.block_shuffle(
+        out.ctypes.data, 1 if elem16 else 0, block_sizes.ctypes.data,
+        len(block_sizes), rounds, seed & 0xFFFFFFFFFFFFFFFF,
+    )
+    return out

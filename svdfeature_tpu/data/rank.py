@@ -149,6 +149,8 @@ class PairSource:
             # pair s -> candidate position (cyclic fill, j % count)
             jp=(pstart[bb] + jj % np.maximum(P_b[bb], 1)).astype(np.int32),
             jn=(nstart[bb] + jj % np.maximum(N_b[bb], 1)).astype(np.int32),
+            P_b=P_b,
+            N_b=N_b,
             off_dtype=(
                 np.uint16
                 if max(P_b.max(initial=0), N_b.max(initial=0)) < (1 << 16)
@@ -173,6 +175,23 @@ class PairSource:
         geo = self.pair_geometry()
         P, N = len(geo["pos_rows"]), len(geo["neg_rows"])
         dt = geo["off_dtype"]
+
+        from .native import block_shuffle_native
+
+        # native batched Fisher-Yates: O(n) per round and spike-free vs
+        # the argsort fallback's O(n log n) (measured 70-600 ms per 8
+        # rounds on the ML-100K rank workload; the spikes starved the
+        # device).  Same law (uniform per-block permutations), different
+        # stream — as documented above, the stream is not a contract.
+        elem16 = dt == np.uint16
+        opl = block_shuffle_native(
+            geo["P_b"], n_rounds, int(rng.integers(1 << 63)), elem16
+        )
+        if opl is not None:
+            onl = block_shuffle_native(
+                geo["N_b"], n_rounds, int(rng.integers(1 << 63)), elem16
+            )
+            return opl, onl
 
         def perm(base, count):
             # key = block + u sorts within blocks (block segments stay

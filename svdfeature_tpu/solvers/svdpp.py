@@ -79,24 +79,37 @@ def _pair_multi_train(
 ):
     """K rounds in ONE dispatch from host-sampled PERMUTATIONS: the
     planes ship as block-local permutation offsets (uint16 — ~4x less
-    tunnel transfer than row-id planes) and the (pos, neg) row planes are
-    assembled in-dispatch by three static gathers (candidate tables +
-    cyclic pair map + slot placement, data/rank.pair_geometry)."""
+    tunnel transfer than row-id planes).  Plane assembly is FOUR gathers
+    total: per-candidate PACKED tables carry (u_idx, u_val, i_idx, i_val)
+    as one int32 row so one gather replaces four, and the cyclic pair map
+    + slot placement are precomposed into one grid->candidate-position
+    map (jp_slot/jn_slot; pad slots point at the tables' trailing dummy
+    row).  Measured on v5e: 10 scalar gathers cost 12.9 ms/round, MORE
+    than the 10 ms/round whole-run kernel — this layout cuts assembly
+    ~3x (scripts/prof_rank6.py)."""
     from ..ops.pallas_svdpp import train_rounds_svdpp_pallas
 
     K = lrs.shape[0]
-    Rr = sk_dev["u_row_idx"].shape[0] - 1  # dummy row = padding target
 
-    def planes(offs, rows_tbl, base, jmap):
-        perm = rows_tbl[base[None, :] + offs.astype(jnp.int32)]  # [K, P]
-        pairs = perm[:, jmap]  # [K, S] sampled row ids, epoch order
-        pad = jnp.full((K, 1), Rr, jnp.int32)
-        return jnp.concatenate([pairs, pad], axis=1)[:, geo["slot_inv"]]
+    def plane(offs, tbl, base, jslot):
+        # tbl: [P+1, W] packed candidate rows (last row = padding);
+        # jslot: [T*GS] grid position -> candidate position (P = pad)
+        P = tbl.shape[0] - 1
+        perm = tbl[:P][base[None, :] + offs.astype(jnp.int32)]  # [K, P, W]
+        pad = jnp.broadcast_to(tbl[P][None, None, :], (K, 1, tbl.shape[1]))
+        return jnp.concatenate([perm, pad], axis=1)[:, jslot]  # [K, TGS, W]
 
-    fp = planes(opl, geo["pos_rows"], geo["pstart_elem"], geo["jp"])
-    fn_ = planes(onl, geo["neg_rows"], geo["nstart_elem"], geo["jn"])
-    stacked = _pair_stacked(
-        sk_dev, fp.reshape(K * T, GS), fn_.reshape(K * T, GS)
+    gp = plane(opl, geo["pos_tbl"], geo["pstart_elem"], geo["jp_slot"])
+    gn = plane(onl, geo["neg_tbl"], geo["nstart_elem"], geo["jn_slot"])
+    gp = gp.reshape(K * T, GS, 4)
+    gn = gn.reshape(K * T, GS, 2)
+    fbits = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    stacked = dict(
+        sk_dev["static"],
+        u_idx=gp[..., 0:1],
+        u_val=fbits(gp[..., 1:2]),
+        i_idx=jnp.stack([gp[..., 2], gn[..., 0]], axis=-1),
+        i_val=jnp.stack([fbits(gp[..., 3]), -fbits(gn[..., 1])], axis=-1),
     )
     return train_rounds_svdpp_pallas(
         state, stacked, chunk_id, fb, overlap, lrs, consts,
@@ -690,6 +703,14 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             "i_row_idx": tbl(i_row_idx, dummy),
             "i_row_val": tbl(i_row_val, 0.0),
         }
+        # host copies for the packed candidate tables
+        # (_train_pair_rounds_host)
+        host_rows = (
+            u_row_idx.astype(np.int32),
+            u_row_val.astype(np.float32),
+            i_row_idx.astype(np.int32),
+            i_row_val.astype(np.float32),
+        )
         chunk_id = jax.device_put(packed.chunk_id)
         fbd = jax.device_put(packed.fb_arrays())
         overlap = jax.device_put(packed.fb_overlap)
@@ -713,6 +734,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             "GS": GS,
             "TGS": T * GS,
             "Rr": R_,
+            "host_rows": host_rows,
+            "dummy": dummy,
             "G": packed.num_blocks_local,
             "M": packed.rows_per_user,
             "use_pallas": bool(
@@ -835,15 +858,33 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             S = len(geo["jp"])
             slot_inv = np.full(sk["TGS"], S, np.int64)
             slot_inv[sk["slot"]] = np.arange(S)
+            uri, urv, iri, irv = sk["host_rows"]
+            bits = lambda f: f.view(np.int32)
+            dummy = sk["dummy"]
+            pr, nr = geo["pos_rows"], geo["neg_rows"]
+            pos_tbl = np.concatenate([
+                np.stack([uri[pr], bits(urv[pr]), iri[pr], bits(irv[pr])], 1),
+                np.array([[dummy, 0, dummy, 0]], np.int32),
+            ]).astype(np.int32)
+            neg_tbl = np.concatenate([
+                np.stack([iri[nr], bits(irv[nr])], 1),
+                np.array([[dummy, 0]], np.int32),
+            ]).astype(np.int32)
+
+            def jslot(jmap, P):
+                # grid position -> candidate position; pad slots -> P
+                j = np.take(jmap, np.minimum(slot_inv, S - 1))
+                return np.where(slot_inv == S, P, j).astype(np.int32)
+
             sk["geo"] = jax.device_put(
                 {
-                    k: geo[k]
-                    for k in (
-                        "pos_rows", "neg_rows", "pstart_elem",
-                        "nstart_elem", "jp", "jn",
-                    )
+                    "pos_tbl": pos_tbl,
+                    "neg_tbl": neg_tbl,
+                    "pstart_elem": geo["pstart_elem"],
+                    "nstart_elem": geo["nstart_elem"],
+                    "jp_slot": jslot(geo["jp"], len(pr)),
+                    "jn_slot": jslot(geo["jn"], len(nr)),
                 }
-                | {"slot_inv": slot_inv.astype(np.int32)}
             )
             sk["multi_rng"] = np.random.default_rng(self.rank_device_seed)
         if self._pair_pool is None:

@@ -68,3 +68,25 @@ def test_unknown_keys_ignored():
     mp = SVDModelParam()
     mp.set_param("nonsense_key", "42")
     assert mp.num_user == 0
+
+
+def test_bench_rmse_bands_flip_on_drift():
+    """bench.py's RMSE gates are per-workload bands tight enough that a
+    real 0.01 drift flips rmse_ok to False (round-3 verdict: the old
+    flat 0.02 band passed a ~0.01 drift on the perf number of record)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    for key, band in bench.RMSE_BANDS.items():
+        assert band < 0.01, key
+        want = 0.9328
+        ok = bench.rmse_gate(key, want + 0.0001, want)
+        assert ok["rmse_ok"] and ok["rmse_delta"] == 0.0001, key
+        drift = bench.rmse_gate(key, want + 0.01, want)
+        assert not drift["rmse_ok"], key
+        assert drift["rmse_band"] == band
