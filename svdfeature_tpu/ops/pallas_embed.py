@@ -56,8 +56,13 @@ def pallas_supported(hp: HyperParams, state: TrainState, stacked) -> bool:
                                losses.SIGMOID_QSGRAD)
         and stacked["u_idx"].shape[-1] == 1
         and stacked["i_idx"].shape[-1] == 1
-        and stacked["g_idx"].shape[-1] == 1
-        and state.g.shape[0] == 1  # no global features (dummy slot only)
+        # global linear segment rides in-kernel one-hot matvecs
+        # (apex_svd_base.h's update_no_decay on the g table); the
+        # selector footprint is [B, NGp] so cap the padded table at 1024
+        # lanes and the per-example entries at 8 — every demo workload
+        # (neighborhoodModel: G+1 = 7, SG = 3) sits far below both
+        and stacked["g_idx"].shape[-1] <= 8
+        and state.g.shape[0] <= 1024
         and n * k * 4 <= PALLAS_VMEM_TABLE_BYTES
         and k % 8 == 0
     )
@@ -67,18 +72,27 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int, precise: bool):
+def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int, precise: bool,
+                 SG: int = 0, NG: int = 0, NGp: int = 0):
+    """SG/NG/NGp: global-linear segment (0 = absent) — SG sublane-padded
+    per-example entries, NG the real [G+1] table size, NGp its 128-lane
+    padding."""
     at = hp.active_type
     with_user_bias = not hp.no_user_bias
 
-    def kernel(
-        lrs_ref,  # scalar prefetch: [R] per-round lr
-        lbu_ref, lbi_ref,  # scalar prefetch: [R] log(1-lr_r*wd_bias)
-        u_idx_ref, u_val_ref, i_idx_ref, i_val_ref, label_ref, weight_ref,
-        lu_ref, li_ref,  # [1,N] windows of the [R,N] log(1-lr_r*wd_row) tables
-        w_in_ref, b_in_ref,
-        w_ref, b_ref,  # aliased outputs (VMEM-resident across the grid)
-    ):
+    def kernel(*refs):
+        if SG:
+            (lrs_ref, lbu_ref, lbi_ref,
+             u_idx_ref, u_val_ref, i_idx_ref, i_val_ref, label_ref,
+             weight_ref, g_idx_ref, g_val_ref, lu_ref, li_ref, lg_ref,
+             w_in_ref, b_in_ref, g_in_ref,
+             w_ref, b_ref, g_ref) = refs
+        else:
+            (lrs_ref, lbu_ref, lbi_ref,
+             u_idx_ref, u_val_ref, i_idx_ref, i_val_ref, label_ref,
+             weight_ref, lu_ref, li_ref,
+             w_in_ref, b_in_ref,
+             w_ref, b_ref) = refs
         r = pl.program_id(0)
         t = pl.program_id(1)
         lr = lrs_ref[r]
@@ -95,6 +109,9 @@ def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int, precise: bool)
             dummy = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0] == N - 1
             w_ref[:] = jnp.where(dummy[:, None], 0.0, w_in_ref[:])
             b_ref[0, :] = jnp.where(dummy, 0.0, b_in_ref[0, :])
+            if SG:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, NGp), 1)
+                g_ref[:] = jnp.where(lane < NG - 1, g_in_ref[:], 0.0)
 
 
         u_idx = u_idx_ref[:]  # [B]
@@ -154,6 +171,27 @@ def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int, precise: bool)
         score = score + scaled_i[:, k]  # item bias
         if with_user_bias:
             score = score + scaled_u[:, k]
+        if SG:
+            # global linear segment: weighted one-hot selectors
+            # (value / value^2 / count) built once, reused by the forward
+            # matvec and the update reductions — f32 throughout (the
+            # damped update's S and C2 reductions are exact-mirror of
+            # embed._update_global's f32 scatter-adds)
+            giota = jax.lax.broadcasted_iota(jnp.int32, (B, NGp), 1)
+            selv = jnp.zeros((B, NGp), jnp.float32)
+            selv2 = jnp.zeros((B, NGp), jnp.float32)
+            selc = jnp.zeros((B, NGp), jnp.float32)
+            for s in range(SG):
+                oh = (g_idx_ref[s, :][:, None] == giota).astype(jnp.float32)
+                vs = g_val_ref[s, :][:, None]
+                selv = selv + oh * vs
+                selv2 = selv2 + oh * (vs * vs)
+                selc = selc + oh
+            gvec = g_ref[:]  # [1, NGp]
+            gdn = (((1,), (1,)), ((), ()))
+            score = score + jax.lax.dot_general(
+                selv, gvec, gdn, preferred_element_type=jnp.float32
+            )[:, 0]
         pred = losses.map_active(score, at)
         err = losses.cal_grad(label, pred, at) * weight
         lr_err = lr * err
@@ -208,6 +246,31 @@ def _make_kernel(hp: HyperParams, B: int, N: int, k: int, T: int, precise: bool)
         w_ref[:] = w
         b_ref[0, :] = bvec
 
+        if SG:
+            # update_no_decay on the g table (proximal-damped at batch>1
+            # unless exact_global, mirroring embed._update_global), then
+            # touch-count decay; dummy + padding lanes pinned to 0
+            erow = err[None, :]  # [1, B]
+            onesr = jnp.ones((1, B), jnp.float32)
+            dng = (((1,), (0,)), ((), ()))
+            S = jax.lax.dot_general(
+                erow, selv, dng, preferred_element_type=jnp.float32
+            )  # [1, NGp]
+            gv = gvec
+            if hp.exact_global:
+                gv = gv + lr * S
+            else:
+                C2 = jax.lax.dot_general(
+                    onesr, selv2, dng, preferred_element_type=jnp.float32
+                )
+                gv = gv + lr * S / (1.0 + lr * C2)
+            cg = jax.lax.dot_general(
+                onesr, selc, dng, preferred_element_type=jnp.float32
+            )
+            gv = gv * jnp.exp(cg * lg_ref[0, 0, :][None, :])
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, NGp), 1)
+            g_ref[:] = jnp.where(lane < NG - 1, gv, 0.0)
+
     return kernel
 
 
@@ -229,7 +292,13 @@ def train_rounds_pallas(
     T, B = stacked["label"].shape
     N, k = state.w.shape
     R = lrs.shape[0]
-    kernel = _make_kernel(hp, B, N, k, T, precise)
+    NG = state.g.shape[0]
+    # global linear segment present iff the table has real slots; SG=0
+    # compiles the exact pre-global kernel (basicMF unchanged)
+    SG = stacked["g_idx"].shape[-1] if NG > 1 else 0
+    SGp = _round_up(SG, 8) if SG else 0
+    NGp = _round_up(NG, 128) if SG else 0
+    kernel = _make_kernel(hp, B, N, k, T, precise, SG=SGp, NG=NG, NGp=NGp)
 
     u_idx = stacked["u_idx"][..., 0].reshape(-1)
     i_idx = stacked["i_idx"][..., 0].reshape(-1)
@@ -262,41 +331,83 @@ def train_rounds_pallas(
         (1, 1, N), lambda r, t, *_: (r, 0, 0), memory_space=pltpu.VMEM
     )
 
+    in_specs = [
+        batch_spec(u_idx), batch_spec(u_val), batch_spec(i_idx),
+        batch_spec(i_val), batch_spec(label), batch_spec(weight),
+    ]
+    inputs = [u_idx, u_val, i_idx, i_val, label, weight]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, k), jnp.float32),
+        jax.ShapeDtypeStruct((1, N), jnp.float32),
+    ]
+    out_specs = [table_spec, vec_spec]
+    if SG:
+        # g planes transposed to [T*SGp, B] so the lane dim is B;
+        # sublane padding entries point at the dummy slot with value 0
+        g_idx_t = jnp.swapaxes(stacked["g_idx"], 1, 2).astype(jnp.int32)
+        g_val_t = jnp.swapaxes(stacked["g_val"], 1, 2).astype(jnp.float32)
+        if SGp > SG:
+            g_idx_t = jnp.concatenate([
+                g_idx_t,
+                jnp.full((T, SGp - SG, B), NG - 1, jnp.int32),
+            ], axis=1)
+            g_val_t = jnp.concatenate([
+                g_val_t, jnp.zeros((T, SGp - SG, B), jnp.float32)
+            ], axis=1)
+        g_plane_spec = pl.BlockSpec(
+            (SGp, B), lambda r, t, *_: (t, 0), memory_space=pltpu.VMEM
+        )
+        wd_g = jnp.concatenate([
+            consts.wd_g_row, jnp.zeros((NGp - NG,), jnp.float32)
+        ])
+        log_g = _log1m(lrs[:, None, None] * wd_g[None, None, :])  # [R,1,NGp]
+        gvec_spec = pl.BlockSpec(
+            (1, NGp), lambda r, t, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+        grow_spec = pl.BlockSpec(
+            (1, 1, NGp), lambda r, t, *_: (r, 0, 0), memory_space=pltpu.VMEM
+        )
+        g_pad = jnp.concatenate([
+            state.g, jnp.zeros((NGp - NG,), jnp.float32)
+        ])[None, :]
+        in_specs += [g_plane_spec, g_plane_spec]
+        inputs += [g_idx_t.reshape(T * SGp, B), g_val_t.reshape(T * SGp, B)]
+        in_specs += [row_spec, row_spec, grow_spec, table_spec, vec_spec,
+                     gvec_spec]
+        inputs += [log_u, log_i, log_g, state.w, state.b[None, :], g_pad]
+        out_shape.append(jax.ShapeDtypeStruct((1, NGp), jnp.float32))
+        out_specs.append(gvec_spec)
+        # w, b, g aliases (indices count the 3 scalar-prefetch operands)
+        aliases = {14: 0, 15: 1, 16: 2}
+    else:
+        in_specs += [row_spec, row_spec, table_spec, vec_spec]
+        inputs += [log_u, log_i, state.w, state.b[None, :]]
+        aliases = {11: 0, 12: 1}
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(R, T),
-        in_specs=[
-            batch_spec(u_idx), batch_spec(u_val), batch_spec(i_idx),
-            batch_spec(i_val), batch_spec(label), batch_spec(weight),
-            row_spec, row_spec,
-            table_spec, vec_spec,
-        ],
-        out_specs=(table_spec, vec_spec),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
     )
-    w_out, b_out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((N, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, N), jnp.float32),
-        ),
-        input_output_aliases={11: 0, 12: 1},  # w, b (incl. scalar-prefetch operands)
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
-    )(
-        lrs, log_bu, log_bi,
-        u_idx, u_val, i_idx, i_val, label, weight,
-        log_u, log_i,
-        state.w, state.b[None, :],
-    )
+    )(lrs, log_bu, log_bi, *inputs)
+    w_out, b_out = outs[0], outs[1]
+    g_out = outs[2][0, :NG] if SG else state.g
     nstep = state.step + (
         jnp.sum(stacked["weight"] > 0).astype(jnp.int32) * jnp.int32(R)
     )
     return TrainState(
         w=w_out,
         b=b_out[0],
-        g=state.g,
+        g=g_out,
         step=nstep,
         ref_ui=state.ref_ui,
         ref_g=state.ref_g,

@@ -91,3 +91,60 @@ def test_pallas_matches_jnp_interpret(precise):
         np.asarray(out.b), np.asarray(ref.b), atol=atol_b, rtol=1e-3
     )
     assert int(out.step) == int(ref.step)
+
+
+def make_inputs_g(NG=7, SG=3, **kw):
+    """Inputs with a real global linear segment (neighborhoodModel-like:
+    NG-1 real slots + dummy, SG entries per example, non-unit values)."""
+    state, stacked, consts, hp, lrs = make_inputs(**kw)
+    import dataclasses
+
+    rng = np.random.RandomState(7)
+    T, B = stacked["label"].shape
+    state = dataclasses.replace(
+        state,
+        g=jnp.asarray(rng.normal(0, 0.01, (NG,)).astype(np.float32)),
+        ref_g=jnp.zeros((NG,), jnp.int32),
+    )
+    wd_g = np.full((NG,), 0.001, np.float32)
+    wd_g[-1] = 0.0
+    consts = dataclasses.replace(consts, wd_g_row=jnp.asarray(wd_g))
+    g_idx = rng.randint(0, NG - 1, (T, B, SG)).astype(np.int32)
+    g_val = rng.uniform(0.1, 1.0, (T, B, SG)).astype(np.float32)
+    # some entries padded to the dummy slot with value 0 (like pack)
+    pad = rng.rand(T, B, SG) < 0.3
+    g_idx[pad] = NG - 1
+    g_val[pad] = 0.0
+    stacked = dict(stacked, g_idx=jnp.asarray(g_idx), g_val=jnp.asarray(g_val))
+    return state, stacked, consts, hp, lrs
+
+
+@pytest.mark.parametrize("exact_global", [False, True])
+def test_pallas_global_segment_matches_jnp(exact_global):
+    """The in-kernel global linear segment (one-hot matvec forward,
+    damped update_no_decay, touch-count decay) matches the jnp fused
+    path on a neighborhoodModel-shaped workload."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops import pallas_embed
+
+    state, stacked, consts, hp, lrs = make_inputs_g()
+    hp = dataclasses.replace(hp, exact_global=exact_global)
+    assert pallas_embed.pallas_supported(hp, state, stacked)
+    ref = train_rounds(jax.tree.map(jnp.copy, state), stacked, lrs, consts, hp)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_embed.train_rounds_pallas(
+            jax.tree.map(jnp.copy, state), stacked, lrs, consts, hp
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.g), np.asarray(ref.g), atol=2e-5, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.w), np.asarray(ref.w), atol=5e-5, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.b), np.asarray(ref.b), atol=5e-4, rtol=1e-3
+    )
+    assert float(np.abs(np.asarray(out.g)).max()) > 0  # g actually trained
