@@ -432,3 +432,38 @@ def test_pair_device_path_trains_interpret(monkeypatch):
     assert tr._pair_sk is not None and "sampler" in tr._pair_sk
     p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
     assert np.mean(p > 0.5) > 0.9
+
+
+def test_pair_mesh_matches_single():
+    """pairwiseRank on a (2x2) mesh: the sharded packed path trains the
+    same model as the single-device trainer on the same seeded pair
+    epochs (the skeleton fast paths refuse the mesh and fall back to
+    _train_packed, solvers/svdpp.py)."""
+    import jax
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("not enough devices")
+    ds = _skewed_pair_ds()
+
+    single = _mini_rank_trainer([("users_per_batch", "4")])
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    single.update_rounds(src, 5)
+
+    meshed = _mini_rank_trainer(
+        [("users_per_batch", "4"), ("mesh_data", "2"), ("mesh_model", "2")]
+    )
+    assert meshed._mesh is not None
+    src2 = PairSource(ds, IteratorConfig(), seed=9)
+    meshed.update_rounds(src2, 5)
+
+    single._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(single.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    # sharded scoring parity on a fresh epoch
+    ep = PairSource(ds, IteratorConfig(), seed=31).epoch_dataset()
+    np.testing.assert_allclose(
+        meshed.predict_all(ep), single.predict_all(ep), rtol=1e-4, atol=1e-5
+    )
