@@ -47,11 +47,15 @@ class PackedImfbBatches:
     fb_ctx: np.ndarray  # [C, F] chunk-local context slot (pad = M)
     ctx_depth: np.ndarray  # [C, M] stack depth of each local context (pad -1)
     perm: np.ndarray  # [R]
-    num_ctx_local: int  # M
+    num_ctx_local: int  # M (local context count; NOT rows_per_user)
+    rows_per_user: int = 1  # RM: consecutive rows of a unit per batch
 
     def device_arrays(self) -> Dict[str, np.ndarray]:
         d = dataclasses.asdict(self)
-        for k in ("perm", "num_ctx_local", "fb_idx", "fb_val", "fb_ctx", "ctx_depth"):
+        for k in (
+            "perm", "num_ctx_local", "rows_per_user",
+            "fb_idx", "fb_val", "fb_ctx", "ctx_depth",
+        ):
             d.pop(k)
         return d
 
@@ -84,6 +88,7 @@ def pack_imfb(
     d_cap: int = 0,
     m_cap: int = 0,
     seg_caps=None,
+    rows_per_user: int = 1,
 ) -> PackedImfbBatches:
     """initial_stack: contexts open at dataset entry (streamed fragments
     of a larger tag stream, data/streaming.py) as (fb_index, fb_value,
@@ -96,7 +101,13 @@ def pack_imfb(
     t_cap/f_cap/c_cap/d_cap/m_cap/seg_caps: pad packed shapes to fixed
     caps so every streamed fragment compiles to ONE program (same
     discipline as pack_plus).  Under caps G is pinned to units_per_batch
-    and one all-padding chunk is reserved."""
+    and one all-padding chunk is reserved.
+
+    rows_per_user (RM>1): RM consecutive rows of each unit share a batch
+    (slot = g*RM + m, like pack_plus) — the within-unit Jacobi widening;
+    ctx_slots replicate the unit's stack snapshot on every present slot,
+    so the per-context device accumulation is layout-free (ops/imfb.py
+    applies the damping)."""
     # --- walk the tag-driven stack
     contexts = []  # (fb_index, fb_value, depth)
     snapshots: List[List[int]] = []  # per block: active context ids
@@ -185,8 +196,9 @@ def pack_imfb(
         seg_padded.append((pi, pv))
         seg_widths.append(pi.shape[1])
 
+    RM = max(1, rows_per_user)
     Tcs = [
-        max(int(ds.block_row_ptr[bi + 1] - ds.block_row_ptr[bi]) for bi, _ in ch)
+        -(-max(int(ds.block_row_ptr[bi + 1] - ds.block_row_ptr[bi]) for bi, _ in ch) // RM)
         for ch in chunks
     ]
     T = sum(Tcs)
@@ -199,16 +211,17 @@ def pack_imfb(
         if c_cap and C + 1 > c_cap:
             raise ValueError(f"chunk count {C}+pad exceeds c_cap {c_cap}")
     dummy_row = num_rows_table
+    GS = G * RM  # slots per batch; slot = g*RM + m
     out = {
-        "label": np.zeros((T_out, G), np.float32),
-        "weight": np.zeros((T_out, G), np.float32),
-        "g_idx": np.full((T_out, G, seg_widths[0]), num_global, np.int32),
-        "g_val": np.zeros((T_out, G, seg_widths[0]), np.float32),
-        "u_idx": np.full((T_out, G, seg_widths[1]), dummy_row, np.int32),
-        "u_val": np.zeros((T_out, G, seg_widths[1]), np.float32),
-        "i_idx": np.full((T_out, G, seg_widths[2]), dummy_row, np.int32),
-        "i_val": np.zeros((T_out, G, seg_widths[2]), np.float32),
-        "ctx_slots": np.full((T_out, G, D), M, np.int32),
+        "label": np.zeros((T_out, GS), np.float32),
+        "weight": np.zeros((T_out, GS), np.float32),
+        "g_idx": np.full((T_out, GS, seg_widths[0]), num_global, np.int32),
+        "g_val": np.zeros((T_out, GS, seg_widths[0]), np.float32),
+        "u_idx": np.full((T_out, GS, seg_widths[1]), dummy_row, np.int32),
+        "u_val": np.zeros((T_out, GS, seg_widths[1]), np.float32),
+        "i_idx": np.full((T_out, GS, seg_widths[2]), dummy_row, np.int32),
+        "i_val": np.zeros((T_out, GS, seg_widths[2]), np.float32),
+        "ctx_slots": np.full((T_out, GS, D), M, np.int32),
     }
     # padding batch slots point at the reserved all-padding chunk (all
     # contexts empty and depth -1, i.e. disabled; weights zero)
@@ -238,22 +251,26 @@ def pack_imfb(
             r0 = int(ds.block_row_ptr[bi])
             n = int(ds.block_row_ptr[bi + 1]) - r0
             rws = np.arange(r0, r0 + n)
-            t_ix = t0 + np.arange(n)
-            out["label"][t_ix, g] = rows_all.labels[rws]
-            out["weight"][t_ix, g] = 1.0
+            # row j of unit g -> batch t0 + j//RM, slot g*RM + j%RM
+            j = np.arange(n)
+            t_ix = t0 + j // RM
+            s_ix = g * RM + j % RM
+            out["label"][t_ix, s_ix] = rows_all.labels[rws]
+            out["weight"][t_ix, s_ix] = 1.0
             for seg, key in enumerate(["g", "u", "i"]):
                 pi, pv = seg_padded[seg]
-                out[f"{key}_idx"][t_ix, g] = pi[rws]
-                out[f"{key}_val"][t_ix, g] = pv[rws]
+                out[f"{key}_idx"][t_ix, s_ix] = pi[rws]
+                out[f"{key}_val"][t_ix, s_ix] = pv[rws]
             for d_, cid in enumerate(snap):
-                out["ctx_slots"][t_ix, g, d_] = slot_of[cid]
-            perm[rws] = t_ix * G + g
+                out["ctx_slots"][t_ix, s_ix, d_] = slot_of[cid]
+            perm[rws] = t_ix * GS + s_ix
         t0 += Tc
 
     return PackedImfbBatches(
         chunk_id=chunk_id,
         perm=perm,
         num_ctx_local=M,
+        rows_per_user=RM,
         fb_idx=fb_idx,
         fb_val=fb_val,
         fb_ctx=fb_ctx,

@@ -50,7 +50,8 @@ def _ctx_aggregates(w, b, cfb, nseg: int, with_bias: bool):
     return fb_sum, norm, fb_bias
 
 
-def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
+def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper,
+               rows_per_user: int = 1):
     lr_fb, d, db = fb_hyper
     w, b, g = state.w, state.b, state.g
     n_ui, n_g = w.shape[0], g.shape[0]
@@ -99,11 +100,40 @@ def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     )
     gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
     inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+    S_b = (
+        jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+        if with_bias
+        else None
+    )
+    if rows_per_user > 1:
+        # implicitly-damped widened Jacobi step, the per-CONTEXT form of
+        # ops/svdpp._plus_step's per-user damping.  Only the WITHIN-unit
+        # excess nrow - U is damped (U = distinct units feeding the
+        # context, computed as sum of present/m_unit): cross-unit sharing
+        # already sums undamped at RM=1 (golden-validated), so RM>1
+        # degenerates bit-identically whenever every unit has one row
+        RM = rows_per_user
+        present = batch["weight"]
+        m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
+        ind = (
+            jnp.repeat(
+                jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0), RM
+            )
+            * present
+        )
+        U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
+        pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
+            jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
+        )
+        excess = jnp.maximum(nrow - U, 0.0)
+        frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+        S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+        if with_bias:
+            S_b = S_b / (1.0 + lr_fb * norm * excess)
     dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
     delta = dtmp * (inv_norm * gate)[:, None]
     w = w.at[cfb["fb_idx"]].add(delta[cfb["fb_ctx"]] * cfb["fb_val"][:, None])
     if with_bias:
-        S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
         dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
         delta_b = dtmp_b * inv_norm * gate
         b = b.at[cfb["fb_idx"]].add(delta_b[cfb["fb_ctx"]] * cfb["fb_val"])
@@ -131,7 +161,9 @@ def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     )
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+@partial(
+    jax.jit, static_argnames=("hp", "rows_per_user"), donate_argnames=("state",)
+)
 def train_epoch_imfb(
     state: TrainState,
     stacked,
@@ -144,6 +176,7 @@ def train_epoch_imfb(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ):
     lr_fb = lr * scale_lr_ufeedback
     d = 1.0 - lr_fb * wd_ufeedback
@@ -153,7 +186,8 @@ def train_epoch_imfb(
         batch, cid = xs
         cfb = jax.tree.map(lambda a: a[cid], fb)
         st = _imfb_step(
-            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db)
+            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db),
+            rows_per_user=rows_per_user,
         )
         return st, None
 
@@ -161,7 +195,9 @@ def train_epoch_imfb(
     return state
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+@partial(
+    jax.jit, static_argnames=("hp", "rows_per_user"), donate_argnames=("state",)
+)
 def train_epoch_imfb_carried(
     state: TrainState,
     stacked,
@@ -175,6 +211,7 @@ def train_epoch_imfb_carried(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ):
     """train_epoch_imfb with pool work O(chunks), not O(batches).
 
@@ -257,6 +294,34 @@ def train_epoch_imfb_carried(
             jnp.repeat(batch["weight"], D)
         )
         gate = disable_mask[cid] * jnp.where(norm > 0, 1.0, 0.0)
+        S_b = (
+            jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+            if with_bias
+            else None
+        )
+        if rows_per_user > 1:
+            # implicitly-damped widened Jacobi step (see _imfb_step)
+            RM = rows_per_user
+            present = batch["weight"]
+            m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
+            ind = (
+                jnp.repeat(
+                    jnp.where(
+                        m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0
+                    ),
+                    RM,
+                )
+                * present
+            )
+            U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
+            pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
+                jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
+            )
+            excess = jnp.maximum(nrow - U, 0.0)
+            frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+            S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            if with_bias:
+                S_b = S_b / (1.0 + lr_fb * norm * excess)
         dtmp = (
             fb_sum * (jnp.power(d, nrow) - 1.0)[:, None]
             + lr_fb * norm[:, None] * S
@@ -265,7 +330,6 @@ def train_epoch_imfb_carried(
         dacc = dacc + delta
         fb_sum = fb_sum + O @ delta
         if with_bias:
-            S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
             dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
             delta_b = dtmp_b * inv * gate
             dbacc = dbacc + delta_b
@@ -284,7 +348,8 @@ def train_epoch_imfb_carried(
     return flush(state, last_cid, dacc, dbacc)
 
 
-def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
+def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper,
+                   rows_per_user: int = 1):
     """_imfb_step on the augmented big-table layout: row updates through
     big_embed._forward_entries/apply_entries (touched-rows-only reg, one
     dedup write) and the per-batch context writeback through
@@ -331,10 +396,34 @@ def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     nrow = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(batch["weight"], D))
     gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
     inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+    S_b = (
+        jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
+        if with_bias
+        else None
+    )
+    if rows_per_user > 1:
+        # implicitly-damped widened Jacobi step (see _imfb_step)
+        RM = rows_per_user
+        present = batch["weight"]
+        m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
+        ind = (
+            jnp.repeat(
+                jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0), RM
+            )
+            * present
+        )
+        U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
+        pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
+            jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
+        )
+        excess = jnp.maximum(nrow - U, 0.0)
+        frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+        S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+        if with_bias:
+            S_b = S_b / (1.0 + lr_fb * norm * excess)
     dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
     delta = dtmp * (inv_norm * gate)[:, None]
     if with_bias:
-        S_b = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(err, D))
         dtmp_b = fb_bias * (jnp.power(db, nrow) - 1.0) + lr_fb * norm * S_b
         delta_b = dtmp_b * inv_norm * gate
     else:
@@ -355,7 +444,9 @@ def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper):
     return dataclasses.replace(st, w=w)
 
 
-@partial(jax.jit, static_argnames=("hp",), donate_argnames=("state",))
+@partial(
+    jax.jit, static_argnames=("hp", "rows_per_user"), donate_argnames=("state",)
+)
 def train_epoch_imfb_big(
     state: TrainState,
     stacked,
@@ -368,6 +459,7 @@ def train_epoch_imfb_big(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ):
     """train_epoch_imfb on the augmented big-table layout (``state`` from
     big_embed.augment_state, ``hp.big_table`` set).  The reference trains
@@ -382,7 +474,8 @@ def train_epoch_imfb_big(
         batch, cid = xs
         cfb = jax.tree.map(lambda a: a[cid], fb)
         st = _imfb_step_big(
-            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db)
+            st, batch, cfb, disable_mask[cid], lr, consts, hp, (lr_fb, d, db),
+            rows_per_user=rows_per_user,
         )
         return st, None
 

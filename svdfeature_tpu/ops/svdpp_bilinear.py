@@ -85,7 +85,11 @@ def _bi_step(W_bi_pad, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item):
     return W_bi_pad.at[-1].set(0.0)
 
 
-@partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "reg_bi", "rows_per_user"),
+    donate_argnames=("state", "W_bi"),
+)
 def train_epoch_bi(
     state: TrainState,
     W_bi,
@@ -104,14 +108,26 @@ def train_epoch_bi(
     wd_bi=0.0,
     reg_bi: int = 0,
     off_item: int = 0,
+    rows_per_user: int = 1,
 ):
     """Pool work O(chunks) via the pack-time overlap closed form — same
     scheme as ops/svdpp.train_epoch_plus (see its docstring), extended
     with the bilinear plugin bias + W_bi update per batch.  fb_overlap
-    must be computed from the FILTERED pool values (start_ufeedback)."""
+    must be computed from the FILTERED pool values (start_ufeedback).
+
+    rows_per_user (M>1): batches are [T, G*M] with M consecutive slots
+    per user (data/batching_plus.py).  The SVD++ feedback recurrence
+    uses the same implicitly-damped M-wide Jacobi step as
+    train_epoch_plus; the W_bi update needs no extra damping — a user's
+    M rows touch (mostly distinct) item rows with gradients computed
+    from the pre-batch W_bi, the same hogwild contract as M=1's
+    across-user sums (reference sequential loop:
+    apex_svd_bilinear.h:130-154)."""
     import dataclasses
 
-    T, G = stacked["label"].shape
+    T, GS = stacked["label"].shape
+    M = rows_per_user
+    G = GS // M
     k = state.w.shape[1]
     lr_fb = lr * scale_lr_ufeedback
     d = 1.0 - lr_fb * wd_ufeedback
@@ -155,23 +171,43 @@ def train_epoch_bi(
             first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
         )
         up_slot = up[cid][:G]  # [G, nbf]
+        up_rep = jnp.repeat(up_slot, M, axis=0) if M > 1 else up_slot
         lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
-        plug = _bi_bias(Wb, up_slot, lid, batch["i_val"])
-        st, err, p_i = _row_update(
-            st, batch, lr, consts, hp,
-            fb_sum, fb_bias if with_bias else None, bias_plugin=plug,
+        plug = _bi_bias(Wb, up_rep, lid, batch["i_val"])
+        fb_slot = jnp.repeat(fb_sum, M, axis=0) if M > 1 else fb_sum
+        fbb_slot = (
+            (jnp.repeat(fb_bias, M) if M > 1 else fb_bias)
+            if with_bias
+            else None
         )
-        Wb = _bi_step(Wb, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item)
+        st, err, p_i = _row_update(
+            st, batch, lr, consts, hp, fb_slot, fbb_slot, bias_plugin=plug,
+        )
+        Wb = _bi_step(Wb, up_rep, batch, err, lr_bi, wd_bi, reg_bi, off_item)
         present = batch["weight"]
+        # per-user reduction + M-wide Jacobi with the implicit damping of
+        # ops/svdpp.train_epoch_plus (see its comment for the law); the
+        # power form d**m_g with m_g in {0,1} IS the M=1 recurrence, so
+        # single-row users stay bit-identical across M
+        m_g = present.reshape(G, M).sum(axis=1)
+        errpi = (err[:, None] * p_i).reshape(G, M, k).sum(axis=1)
+        err_g = err.reshape(G, M).sum(axis=1)
+        if M > 1:
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            pip2 = jnp.sum(p_i * p_i, axis=1).reshape(G, M).sum(axis=1)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         dtmp = (
-            fb_sum * (d - 1.0) * present[:, None]
-            + lr_fb * norm[:, None] * (err[:, None] * p_i)
+            fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
+            + lr_fb * norm[:, None] * errpi
         )
         delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
         dacc = dacc + delta_pad
         fb_sum = fb_sum + (O @ delta_pad)[:G]
         if with_bias:
-            dtmp_b = fb_bias * (db - 1.0) * present + lr_fb * norm * err
+            dtmp_b = (
+                fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
+            )
             delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
             dbacc = dbacc + delta_b_pad
             fb_bias = fb_bias + (O @ delta_b_pad)[:G]
@@ -239,7 +275,11 @@ def _bi_step_big(W_bi_pad, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item, 
     return write_rows_unique(W_bi_pad, tgt, new, row_dma=row_dma)
 
 
-@partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "reg_bi", "rows_per_user"),
+    donate_argnames=("state", "W_bi"),
+)
 def train_epoch_bi_big(
     state: TrainState,
     W_bi,
@@ -258,6 +298,7 @@ def train_epoch_bi_big(
     wd_bi=0.0,
     reg_bi: int = 0,
     off_item: int = 0,
+    rows_per_user: int = 1,
 ):
     """train_epoch_bi on the augmented big-table layout: the chunk-carried
     SVD++ recurrence of ops/svdpp_big.train_epoch_plus_big plus the
@@ -277,7 +318,9 @@ def train_epoch_bi_big(
     from .svdpp_big import _fb_writeback_big
 
     assert hp.big_table and not hp.sweep_table
-    T, G = stacked["label"].shape
+    T, GS = stacked["label"].shape
+    M = rows_per_user
+    G = GS // M
     k = hp.num_factor
     lr_fb = lr * scale_lr_ufeedback
     d = 1.0 - lr_fb * wd_ufeedback
@@ -324,15 +367,22 @@ def train_epoch_bi_big(
             first, on_boundary, off_boundary, (st, pc, dacc, dbacc)
         )
         up_slot = up[cid][:G]  # [G, nbf]
+        up_rep = jnp.repeat(up_slot, M, axis=0) if M > 1 else up_slot
         lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
-        rows_bi = gather_rows(Wb, lid, row_dma=hp.row_dma)  # [G, S, nbf]
-        per = jnp.einsum("gsn,gn->gs", rows_bi, up_slot)
+        rows_bi = gather_rows(Wb, lid, row_dma=hp.row_dma)  # [GS, S, nbf]
+        per = jnp.einsum("gsn,gn->gs", rows_bi, up_rep)
         plug = jnp.einsum("gs,gs->g", per, batch["i_val"])
+        fb_slot = jnp.repeat(fb_sum, M, axis=0) if M > 1 else fb_sum
+        fbb_slot = (
+            (jnp.repeat(fb_bias, M) if M > 1 else fb_bias)
+            if with_bias
+            else None
+        )
         g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, err, p_i = (
             _forward_entries(
                 st, batch, lr, consts, hp,
-                p_u_extra=fb_sum,
-                bias_extra=fb_bias if with_bias else None,
+                p_u_extra=fb_slot,
+                bias_extra=fbb_slot,
                 bias_plugin=plug,
             )
         )
@@ -344,20 +394,30 @@ def train_epoch_bi_big(
             w=w, b=st.b, g=g, step=nstep, ref_ui=st.ref_ui, ref_g=ref_g
         )
         Wb = _bi_step_big(
-            Wb, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item,
+            Wb, up_rep, batch, err, lr_bi, wd_bi, reg_bi, off_item,
             hp.row_dma,
         )
         # feedback recurrence — identical math to train_epoch_bi
         present = batch["weight"]
+        m_g = present.reshape(G, M).sum(axis=1)
+        errpi = (err[:, None] * p_i).reshape(G, M, k).sum(axis=1)
+        err_g = err.reshape(G, M).sum(axis=1)
+        if M > 1:
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            pip2 = jnp.sum(p_i * p_i, axis=1).reshape(G, M).sum(axis=1)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         dtmp = (
-            fb_sum * (d - 1.0) * present[:, None]
-            + lr_fb * norm[:, None] * (err[:, None] * p_i)
+            fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
+            + lr_fb * norm[:, None] * errpi
         )
         delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
         dacc = dacc + delta_pad
         fb_sum = fb_sum + (O @ delta_pad)[:G]
         if with_bias:
-            dtmp_b = fb_bias * (db - 1.0) * present + lr_fb * norm * err
+            dtmp_b = (
+                fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
+            )
             delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
             dbacc = dbacc + delta_b_pad
             fb_bias = fb_bias + (O @ delta_b_pad)[:G]
@@ -378,7 +438,11 @@ def train_epoch_bi_big(
     return state, W_bi_pad[:-1]
 
 
-@partial(jax.jit, static_argnames=("hp", "reg_bi"), donate_argnames=("state", "W_bi"))
+@partial(
+    jax.jit,
+    static_argnames=("hp", "reg_bi", "rows_per_user"),
+    donate_argnames=("state", "W_bi"),
+)
 def train_epoch_bi_refresh(
     state: TrainState,
     W_bi,
@@ -396,6 +460,7 @@ def train_epoch_bi_refresh(
     wd_bi=0.0,
     reg_bi: int = 0,
     off_item: int = 0,
+    rows_per_user: int = 1,
 ):
     """Per-batch pool refresh fallback (common_feedback_space=1)."""
     lr_fb = lr * scale_lr_ufeedback
@@ -403,35 +468,41 @@ def train_epoch_bi_refresh(
     db = 1.0 - lr_fb * wd_ufeedback_bias
     lr_bi = lr * slr_bi
     num_item = W_bi.shape[0]
+    M = rows_per_user
+    G = stacked["label"].shape[1] // M
     W_bi_pad = jnp.concatenate([W_bi, jnp.zeros((1, W_bi.shape[1]))], axis=0)
 
     def body(carry, xs):
         st, Wb = carry
         batch, cid = xs
         cfb = jax.tree.map(lambda a: a[cid], fb)
-        up_slot = up[cid][: batch["label"].shape[0]]  # [G, nbf]
+        up_slot = up[cid][:G]  # [G, nbf]
+        up_rep = jnp.repeat(up_slot, M, axis=0) if M > 1 else up_slot
         lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
-        plug = _bi_bias(Wb, up_slot, lid, batch["i_val"])
+        plug = _bi_bias(Wb, up_rep, lid, batch["i_val"])
         st, err = _plus_step(
             st, batch, cfb, lr, consts, hp, (lr_fb, d, db),
-            bias_plugin=plug, return_err=True,
+            bias_plugin=plug, return_err=True, rows_per_user=M,
         )
-        Wb = _bi_step(Wb, up_slot, batch, err, lr_bi, wd_bi, reg_bi, off_item)
+        Wb = _bi_step(Wb, up_rep, batch, err, lr_bi, wd_bi, reg_bi, off_item)
         return (st, Wb), None
 
     (state, W_bi_pad), _ = jax.lax.scan(body, (state, W_bi_pad), (stacked, chunk_id))
     return state, W_bi_pad[:-1]
 
 
-@partial(jax.jit, static_argnames=("hp",))
+@partial(jax.jit, static_argnames=("hp", "rows_per_user"))
 def predict_batches_bi(
-    state: TrainState, W_bi, stacked, chunk_id, fb, up, hp: HyperParams, off_item: int
+    state: TrainState, W_bi, stacked, chunk_id, fb, up, hp: HyperParams,
+    off_item: int, rows_per_user: int = 1,
 ):
     """Forward-only predictions; tables are static so feedback aggregates
     are gathered once per CHUNK (boundary cond), like predict_batches_plus."""
     with_bias = not hp.no_user_bias
     num_item = W_bi.shape[0]
-    T, G = stacked["label"].shape
+    T, GS = stacked["label"].shape
+    M = rows_per_user
+    G = GS // M
     k = state.w.shape[1]
     W_bi_pad = jnp.concatenate([W_bi, jnp.zeros((1, W_bi.shape[1]))], axis=0)
     is_first = jnp.concatenate(
@@ -451,14 +522,21 @@ def predict_batches_bi(
             first, prepare, lambda _: (fb_sum, fb_bias), None
         )
         up_slot = up[cid][:G]
+        up_rep = jnp.repeat(up_slot, M, axis=0) if M > 1 else up_slot
         lid, _ = _local_item_ids(batch["i_idx"], off_item, num_item)
-        plug = _bi_bias(W_bi_pad, up_slot, lid, batch["i_val"])
+        plug = _bi_bias(W_bi_pad, up_rep, lid, batch["i_val"])
+        fb_slot = jnp.repeat(fb_sum, M, axis=0) if M > 1 else fb_sum
+        fbb_slot = (
+            (jnp.repeat(fb_bias, M) if M > 1 else fb_bias)
+            if with_bias
+            else None
+        )
         pred, _, _ = forward_scores(
             state,
             batch,
             hp,
-            fb_sum,
-            (fb_bias if with_bias else None),
+            fb_slot,
+            fbb_slot,
             bias_plugin=plug,
         )
         return (fb_sum, fb_bias), pred

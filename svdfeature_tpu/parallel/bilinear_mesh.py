@@ -102,14 +102,17 @@ def _seg_add(dst, idx, pay, n):
 
 def _make_bilinear_body(
     hp: HyperParams, n_pad: int, n_bi_pad: int, n_model: int, n_data: int,
-    G: int, F: int, off_item: int, reg_bi: int,
+    G: int, F: int, off_item: int, reg_bi: int, M: int = 1,
 ):
-    """Per-shard bilinear step body (one row per user, M=1).
+    """Per-shard bilinear step body (M rows per user).
 
     Wraps the sharded SVD++ math (svdpp_mesh._make_svdpp_body, same
     citations) with the plugin bias + the sharded W_bi step.  The batch's
     coef entries are all-gathered over ``data`` so every model shard sees
-    all its rows' updates; the plug is psum'd over ``model``.
+    all its rows' updates; the plug is psum'd over ``model``.  M>1 uses
+    the implicitly-damped M-wide Jacobi feedback step of
+    svdpp_mesh._make_svdpp_body; the W_bi hogwild sum needs no extra
+    damping (see ops/svdpp_bilinear.train_epoch_bi).
     """
     n_local = n_pad // n_model
     nb_local = n_bi_pad // n_model
@@ -128,7 +131,8 @@ def _make_bilinear_body(
         dummy_bi = nb_local - 1
         with_bias = not hp.no_user_bias
         nseg = G + 1
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        # global user slot of each local row (M consecutive rows per user)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         # ---- SP feedback aggregates (filtered pool values — solver
         # zeroes start_ufeedback-filtered entries at pack time)
@@ -195,11 +199,12 @@ def _make_bilinear_body(
         # ---- W_bi step: all-gather this batch's (item, coef) entries
         # over data; identical application on every data replica
         S = lid.shape[1]
-        coef = (lr_bi * err)[:, None] * batch["i_val"]  # [g_local, S]
-        lid_all = jax.lax.all_gather(lid, "data").reshape(-1)  # [G*S]
+        coef = (lr_bi * err)[:, None] * batch["i_val"]  # [g_local*M, S]
+        lid_all = jax.lax.all_gather(lid, "data").reshape(-1)  # [G*M*S]
         coef_all = jax.lax.all_gather(coef, "data").reshape(-1)
         vals_all = jax.lax.all_gather(batch["i_val"], "data").reshape(-1)
-        g_of_entry = jnp.arange(G * S, dtype=jnp.int32) // S
+        # entry -> owning USER (M consecutive rows per user)
+        g_of_entry = jnp.arange(G * M * S, dtype=jnp.int32) // (M * S)
         # pad/absent items: route to the global dummy with ZERO values
         valid = (lid_all >= 0) & (lid_all < n_bi_pad - 1)
         lid_all = jnp.where(valid, lid_all, n_bi_pad - 1)
@@ -217,12 +222,20 @@ def _make_bilinear_body(
                 slot,
                 jnp.concatenate(
                     [err[:, None] * p_i, batch["weight"][:, None],
-                     err[:, None]], axis=1,
+                     err[:, None],
+                     jnp.sum(p_i * p_i, axis=1, keepdims=True)], axis=1,
                 ),
             ),
             "data",
         )[:G]
         errpi, m_g, err_g = red[:, :k], red[:, k], red[:, k + 1]
+        if M > 1:
+            # implicitly-damped M-wide Jacobi feedback step — the exact
+            # math of svdpp_mesh._make_svdpp_body / ops/svdpp._plus_step
+            pip2 = red[:, k + 2]
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
         dtmp = (
             fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
@@ -292,18 +305,20 @@ def sharded_bilinear_rounds(
     wd_ufeedback_bias: float = 0.0,
     slr_bi: float = 1.0,
     wd_bi: float = 0.0,
+    M: int = 1,
 ):
     """Whole multi-round bilinear run in ONE dispatch on the mesh.
 
     Signature: (state, Wb, stacked, chunk_id, fb, up, lrs, consts) ->
     (state, Wb).  ``Wb``: [n_bi_pad, nbf] row-sharded W_bi (+ dummy);
-    ``up``: [C, G+1, nbf] replicated user-property matrices.
+    ``up``: [C, G+1, nbf] replicated user-property matrices; ``stacked``:
+    [T, G*M, ...] batches (M consecutive slots per user).
     """
     from jax import shard_map
 
     step = _make_bilinear_body(
         hp, n_pad, n_bi_pad, mesh.shape["model"], mesh.shape["data"], G, F,
-        off_item, reg_bi,
+        off_item, reg_bi, M,
     )
     state_spec, stacked_spec, cfb_spec, consts_spec = _specs()
 
@@ -348,7 +363,7 @@ def sharded_bilinear_rounds(
 
 def sharded_bilinear_predict(
     mesh: Mesh, hp: HyperParams, n_pad: int, n_bi_pad: int, G: int, F: int,
-    off_item: int,
+    off_item: int, M: int = 1,
 ):
     """Bilinear inference ON the mesh — both tables stay row-sharded."""
     from jax import shard_map
@@ -372,7 +387,7 @@ def sharded_bilinear_predict(
         with_bias = not hp.no_user_bias
         nseg = G + 1
         k = w.shape[1]
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         def body(_, xs):
             batch, cid = xs

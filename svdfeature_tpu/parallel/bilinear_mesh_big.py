@@ -143,12 +143,15 @@ def _bi_plug_big(Wb, up_g, batch, off_item, num_item, lo_bi, nb_real, row_dma):
 
 def _make_bilinear_body_big(
     hp: HyperParams, n_real: int, nb_real: int, n_model: int, n_data: int,
-    G: int, F: int, off_item: int, num_item: int, reg_bi: int,
+    G: int, F: int, off_item: int, num_item: int, reg_bi: int, M: int = 1,
 ):
-    """Per-shard bilinear step on augmented slabs (one row per user).
+    """Per-shard bilinear step on augmented slabs (M rows per user).
 
-    svdpp_mesh_big._make_svdpp_body_big (M=1, same citations) plus the
-    plugin bias and the sharded dedup W_bi step."""
+    svdpp_mesh_big._make_svdpp_body_big (same citations) plus the
+    plugin bias and the sharded dedup W_bi step.  M>1 uses the
+    implicitly-damped M-wide Jacobi feedback step (ops/svdpp._plus_step);
+    the W_bi hogwild sum needs no extra damping
+    (ops/svdpp_bilinear.train_epoch_bi)."""
     k = hp.num_factor
     assert k > 0, "mesh big path requires hp.num_factor"
     assert G % n_data == 0 and F % n_data == 0
@@ -167,7 +170,7 @@ def _make_bilinear_body_big(
         f32 = jnp.float32
         with_bias = not hp.no_user_bias
         nseg = G + 1
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         # ---- SP: feedback aggregates (filtered pool values — the solver
         # zeroes start_ufeedback-filtered entries at pack time)
@@ -283,10 +286,11 @@ def _make_bilinear_body_big(
         # the identical dedup update into its slab
         S = lid.shape[1]
         coef_bi = (lr_bi * err)[:, None] * batch["i_val"]  # [g_local, S]
-        lid_all = jax.lax.all_gather(lid, "data").reshape(-1)  # [G*S]
+        lid_all = jax.lax.all_gather(lid, "data").reshape(-1)  # [G*M*S]
         coefb_all = jax.lax.all_gather(coef_bi, "data").reshape(-1)
         vals_all = jax.lax.all_gather(batch["i_val"], "data").reshape(-1)
-        g_of_entry = jnp.arange(G * S, dtype=jnp.int32) // S
+        # entry -> owning USER (M consecutive rows per user)
+        g_of_entry = jnp.arange(G * M * S, dtype=jnp.int32) // (M * S)
         valid = (lid_all >= 0) & (lid_all < num_item)
         lid_all = jnp.where(valid, lid_all, -1)  # -1 -> non-owned everywhere
         coefb_all = jnp.where(valid, coefb_all, 0.0)
@@ -304,12 +308,20 @@ def _make_bilinear_body_big(
                 slot,
                 jnp.concatenate(
                     [err[:, None] * p_i, batch["weight"][:, None],
-                     err[:, None]], axis=1,
+                     err[:, None],
+                     jnp.sum(p_i * p_i, axis=1, keepdims=True)], axis=1,
                 ),
             ),
             "data",
         )
         errpi, m_g, err_g = red[:, :k], red[:, k], red[:, k + 1]
+        if M > 1:
+            # implicitly-damped M-wide Jacobi feedback step — the exact
+            # math of svdpp_mesh._make_svdpp_body / ops/svdpp._plus_step
+            pip2 = red[:, k + 2]
+            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
+            errpi = errpi / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            err_g = err_g / (1.0 + lr_fb * norm * (m_g - 1.0) * (m_g > 0))
         inv_norm = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
         dtmp = (
             fb_sum * (jnp.power(d, m_g) - 1.0)[:, None]
@@ -359,6 +371,7 @@ def sharded_bilinear_rounds_big(
     wd_ufeedback_bias: float = 0.0,
     slr_bi: float = 1.0,
     wd_bi: float = 0.0,
+    M: int = 1,
 ):
     """Whole multi-round bilinear run in ONE dispatch on big slabs.
 
@@ -370,7 +383,7 @@ def sharded_bilinear_rounds_big(
 
     step = _make_bilinear_body_big(
         hp, n_real, nb_real, mesh.shape["model"], mesh.shape["data"], G, F,
-        off_item, num_item, reg_bi,
+        off_item, num_item, reg_bi, M,
     )
     state_spec, stacked_spec, fb_spec, consts_spec = _specs_big_plus()
 
@@ -414,7 +427,7 @@ def sharded_bilinear_rounds_big(
 
 def sharded_bilinear_predict_big(
     mesh: Mesh, hp: HyperParams, n_real: int, nb_real: int, G: int, F: int,
-    off_item: int, num_item: int,
+    off_item: int, num_item: int, M: int = 1,
 ):
     """Bilinear inference ON the mesh with big augmented slabs — both
     tables stay row-sharded (counterpart of
@@ -437,7 +450,7 @@ def sharded_bilinear_predict_big(
         scratch = n_real
         with_bias = not hp.no_user_bias
         nseg = G + 1
-        slot = did * g_local + jnp.arange(g_local, dtype=jnp.int32)
+        slot = did * g_local + jnp.arange(g_local * M, dtype=jnp.int32) // M
 
         def body(_, xs):
             batch, cid = xs

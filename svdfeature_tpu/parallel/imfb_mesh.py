@@ -34,7 +34,7 @@ from .mesh import (
 
 def _make_imfb_body(
     hp: HyperParams, n_pad: int, n_model: int, n_data: int, G: int, F: int,
-    nseg: int,
+    nseg: int, M: int = 1,
 ):
     """Per-shard stacked-context step body.
 
@@ -47,6 +47,7 @@ def _make_imfb_body(
     """
     n_local = n_pad // n_model
     assert G % n_data == 0, "rows padded to a multiple of the data axis"
+    assert G % (n_data * M) == 0, "units must not straddle data shards"
     assert F % n_data == 0, "pool padded to a multiple of the data axis"
     f_local = F // n_data
 
@@ -110,6 +111,18 @@ def _make_imfb_body(
         # ---- per-context reduction [err*p_i | weight | err], psum'd
         g_local, D = ctx.shape
         flat_ctx = ctx.reshape(-1)
+        present = batch["weight"]
+        if M > 1:
+            m_unit = present.reshape(g_local // M, M).sum(axis=1)
+            ind = (
+                jnp.repeat(
+                    jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0),
+                    M,
+                )
+                * present
+            )
+        else:
+            ind = present
         red = jax.lax.psum(
             _seg_sum_stacked(
                 nseg,
@@ -119,8 +132,12 @@ def _make_imfb_body(
                         jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(
                             g_local * D, k
                         ),
-                        jnp.repeat(batch["weight"], D)[:, None],
+                        jnp.repeat(present, D)[:, None],
                         jnp.repeat(err, D)[:, None],
+                        jnp.repeat(
+                            jnp.sum(p_i * p_i, axis=1), D
+                        )[:, None],
+                        jnp.repeat(ind, D)[:, None],
                     ],
                     axis=1,
                 ),
@@ -128,6 +145,19 @@ def _make_imfb_body(
             "data",
         )
         S, nrow, S_b = red[:, :k], red[:, k], red[:, k + 1]
+        if M > 1:
+            # implicitly-damped widened Jacobi step (rows_per_user>1):
+            # only the within-unit excess nrow - U is damped — see
+            # ops/imfb._imfb_step for the law.  U rides the psum'd
+            # reduction as the present/m_unit indicator column; the
+            # factory asserts G % (n_data*M) == 0 so every unit's M
+            # slots live on one data shard and the local reshape is
+            # the unit grouping.
+            pip2, U = red[:, k + 2], red[:, k + 3]
+            excess = jnp.maximum(nrow - U, 0.0)
+            frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+            S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            S_b = S_b / (1.0 + lr_fb * norm * excess)
         gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
         inv = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
         dtmp = (
@@ -195,6 +225,7 @@ def sharded_imfb_rounds(
     scale_lr_ufeedback: float = 1.0,
     wd_ufeedback: float = 0.0,
     wd_ufeedback_bias: float = 0.0,
+    M: int = 1,
 ):
     """Whole multi-round multi-IMFB run in ONE dispatch on the mesh.
 
@@ -206,7 +237,7 @@ def sharded_imfb_rounds(
     from jax import shard_map
 
     step = _make_imfb_body(
-        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F, nseg
+        hp, n_pad, mesh.shape["model"], mesh.shape["data"], G, F, nseg, M
     )
     state_spec, stacked_spec, cfb_spec, consts_spec = _specs()
 
@@ -309,13 +340,15 @@ def sharded_imfb_predict(
 
 
 def pad_imfb_for_mesh(arrays, fb, G: int, n_data: int, dummy_row: int,
-                      num_global: int, nseg: int):
-    """Pad packed imfb batches so G (rows) and F (pool) divide the data
+                      num_global: int, nseg: int, M: int = 1):
+    """Pad packed imfb batches so G (slots) and F (pool) divide the data
     axis.  Padded row slots are absent rows (weight 0, dummy ids,
     ctx_slots = pad slot); pool padding targets the dummy row with value
-    0 and the pad context slot."""
+    0 and the pad context slot.  M>1 (rows_per_user): slots are padded
+    to a multiple of n_data*M so no unit's M consecutive slots straddle
+    a data shard (the mesh bodies' damping groups slots by unit)."""
     T = arrays["label"].shape[0]
-    Gp = -(-G // n_data) * n_data
+    Gp = -(-G // (n_data * M)) * (n_data * M)
     if Gp != G:
         out = {}
         for k, v in arrays.items():

@@ -50,7 +50,7 @@ from .mesh_big import _fwd_big, _soft_threshold
 
 def _make_imfb_body_big(
     hp: HyperParams, n_real: int, n_model: int, n_data: int, G: int, F: int,
-    nseg: int,
+    nseg: int, M: int = 1,
 ):
     """Per-shard stacked-context step on augmented slabs [n_real+1, W].
 
@@ -63,6 +63,7 @@ def _make_imfb_body_big(
     k = hp.num_factor
     assert k > 0, "mesh big path requires hp.num_factor"
     assert G % n_data == 0, "rows padded to a multiple of the data axis"
+    assert G % (n_data * M) == 0, "units must not straddle data shards"
     assert F % n_data == 0, "pool padded to a multiple of the data axis"
     f_local = F // n_data
 
@@ -189,6 +190,18 @@ def _make_imfb_body_big(
         # apex_multi_imfb.h:78-94)
         g_local, D = ctx.shape
         flat_ctx = ctx.reshape(-1)
+        present = batch["weight"]
+        if M > 1:
+            m_unit = present.reshape(g_local // M, M).sum(axis=1)
+            ind = (
+                jnp.repeat(
+                    jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0),
+                    M,
+                )
+                * present
+            )
+        else:
+            ind = present
         red = jax.lax.psum(
             _seg_sum_stacked(
                 nseg,
@@ -198,8 +211,12 @@ def _make_imfb_body_big(
                         jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(
                             g_local * D, k
                         ),
-                        jnp.repeat(batch["weight"], D)[:, None],
+                        jnp.repeat(present, D)[:, None],
                         jnp.repeat(err, D)[:, None],
+                        jnp.repeat(
+                            jnp.sum(p_i * p_i, axis=1), D
+                        )[:, None],
+                        jnp.repeat(ind, D)[:, None],
                     ],
                     axis=1,
                 ),
@@ -207,6 +224,19 @@ def _make_imfb_body_big(
             "data",
         )
         S, nrow, S_b = red[:, :k], red[:, k], red[:, k + 1]
+        if M > 1:
+            # implicitly-damped widened Jacobi step (rows_per_user>1):
+            # only the within-unit excess nrow - U is damped — see
+            # ops/imfb._imfb_step for the law.  U rides the psum'd
+            # reduction as the present/m_unit indicator column; the
+            # factory asserts G % (n_data*M) == 0 so every unit's M
+            # slots live on one data shard and the local reshape is
+            # the unit grouping.
+            pip2, U = red[:, k + 2], red[:, k + 3]
+            excess = jnp.maximum(nrow - U, 0.0)
+            frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+            S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+            S_b = S_b / (1.0 + lr_fb * norm * excess)
         gate = enabled * jnp.where(norm > 0, 1.0, 0.0)
         inv = jnp.where(norm > 0, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
         dtmp = (
@@ -268,6 +298,7 @@ def sharded_imfb_rounds_big(
     scale_lr_ufeedback: float = 1.0,
     wd_ufeedback: float = 0.0,
     wd_ufeedback_bias: float = 0.0,
+    M: int = 1,
 ):
     """Whole multi-round multi-IMFB run in ONE dispatch on big slabs.
 
@@ -277,7 +308,7 @@ def sharded_imfb_rounds_big(
     from jax import shard_map
 
     step = _make_imfb_body_big(
-        hp, n_real, mesh.shape["model"], mesh.shape["data"], G, F, nseg
+        hp, n_real, mesh.shape["model"], mesh.shape["data"], G, F, nseg, M
     )
     state_spec, stacked_spec, fb_spec, consts_spec = _specs_big_imfb()
 

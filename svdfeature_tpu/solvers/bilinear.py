@@ -189,10 +189,6 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         return fb, up, overlap
 
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
-        if self.rows_per_user > 1:
-            raise NotImplementedError(
-                "rows_per_user > 1 applies to the plain SVD++ solver only"
-            )
         key = (id(ds), "bi")
         if not cache or key not in self._pack_cache:
             m = self.model
@@ -209,6 +205,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 num_user=m.param.num_user,
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
+                rows_per_user=self.rows_per_user,
             )
             fb, up, overlap = self._bi_extras(packed)
             nbf = self.bparam.num_bi_feedback
@@ -219,12 +216,13 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
 
                 host_arrays = packed.device_arrays()
                 host_arrays.pop("chunk_id", None)
-                G = host_arrays["label"].shape[1]
+                G = packed.num_blocks_local
+                M = packed.rows_per_user
                 arrays, fbd, Gp, _ = pad_plus_for_mesh(
                     host_arrays, fb, G, self.mesh_data, m.num_rows,
-                    m.param.num_global,
+                    m.param.num_global, M=M,
                 )
-                if Gp != G:  # widen the per-slot property matrix to Gp+1
+                if Gp != G:  # widen the per-user property matrix to Gp+1
                     pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
                     up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
                 sh = lambda v: NamedSharding(
@@ -232,11 +230,12 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                     P(None, "data") if v.ndim == 2 else P(None, "data", None),
                 )
                 rep = NamedSharding(self._mesh, P())
+                GS = G * M
                 entry = (
                     {k: jax.device_put(v, sh(v)) for k, v in arrays.items()},
                     jax.device_put(packed.chunk_id, rep),
                     {k: jax.device_put(v, rep) for k, v in fbd.items()},
-                    (packed.perm // G) * Gp + packed.perm % G,
+                    (packed.perm // GS) * (Gp * M) + packed.perm % GS,
                     jax.device_put(up, rep),
                     None,  # overlap unused on the mesh path (per-batch refresh)
                 )
@@ -278,6 +277,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             num_user=m.param.num_user,
             num_item=m.param.num_item,
             num_ufeedback=m.param.num_ufeedback,
+            rows_per_user=self.rows_per_user,
             **caps,
         )
         fb, up, overlap = self._bi_extras(packed)
@@ -288,7 +288,8 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             arrays.pop("chunk_id", None)
             G = packed.num_blocks_local
             arrays, fb, Gp, _ = pad_plus_for_mesh(
-                arrays, fb, G, self.mesh_data, m.num_rows, m.param.num_global
+                arrays, fb, G, self.mesh_data, m.num_rows, m.param.num_global,
+                M=packed.rows_per_user,
             )
             if Gp != G:
                 nbf = self.bparam.num_bi_feedback
@@ -320,9 +321,10 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
     def _train_packed(self, entry) -> None:
         stacked, chunk_id, fb, _, up, overlap = entry
         if self._mesh is not None:
-            G = stacked["label"].shape[1]
+            M = self.rows_per_user
+            G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = ("bi", G, F, self._mesh_big)
+            key = ("bi", G, F, M, self._mesh_big)
             if key not in self._plus_sharded:
                 if self._mesh_big:
                     from ..parallel.bilinear_mesh_big import (
@@ -338,6 +340,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                         self.tparam.wd_ufeedback_bias,
                         self.slr_bi_feedback,
                         self.wd_bi_feedback,
+                        M=M,
                     )
                 else:
                     from ..parallel.bilinear_mesh import sharded_bilinear_rounds
@@ -350,6 +353,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                         self.tparam.wd_ufeedback_bias,
                         self.slr_bi_feedback,
                         self.wd_bi_feedback,
+                        M=M,
                     )
             self.state, self.W_bi = self._plus_sharded[key](
                 self.state, self.W_bi, stacked, chunk_id, fb, up,
@@ -369,6 +373,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 self.wd_bi_feedback,
                 self.reg_bi_feedback,
                 self.model.off_item,
+                rows_per_user=self.rows_per_user,
             )
             return
         if self.hp.big_table:
@@ -384,6 +389,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 self.wd_bi_feedback,
                 self.reg_bi_feedback,
                 self.model.off_item,
+                rows_per_user=self.rows_per_user,
             )
             return
         self.state, self.W_bi = train_epoch_bi(
@@ -404,9 +410,10 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             self.wd_bi_feedback,
             self.reg_bi_feedback,
             self.model.off_item,
+            rows_per_user=self.rows_per_user,
         )
 
-    def _bi_predict_fn(self, G, F):
+    def _bi_predict_fn(self, G, F, M=1):
         """Sharded bilinear inference builder: standard slabs or
         (mesh_big) the augmented big-slab forward (consts bound for the
         gather-time lazy views)."""
@@ -415,7 +422,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
 
             inner = sharded_bilinear_predict_big(
                 self._mesh, self.hp, self._n_real, self._nb_real, G, F,
-                self.model.off_item, self.mparam.num_item,
+                self.model.off_item, self.mparam.num_item, M=M,
             )
             return lambda st, Wb, stacked, cid, fb, up: inner(
                 st, Wb, stacked, cid, fb, up, self.consts
@@ -424,7 +431,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
 
         return sharded_bilinear_predict(
             self._mesh, self.hp, self._n_pad, self._n_bi_pad, G, F,
-            self.model.off_item,
+            self.model.off_item, M=M,
         )
 
     def predict_all(self, ds) -> np.ndarray:
@@ -438,11 +445,12 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             return super(SVDPPFeatureTrainer, self).predict_all(ds)
         stacked, chunk_id, fb, perm, up, _ = entry
         if self._mesh is not None:
-            G = stacked["label"].shape[1]
+            M = self.rows_per_user
+            G = stacked["label"].shape[1] // M
             F = fb["fb_idx"].shape[1]
-            key = ("bi-pred", G, F, self._mesh_big)
+            key = ("bi-pred", G, F, M, self._mesh_big)
             if key not in self._plus_sharded:
-                self._plus_sharded[key] = self._bi_predict_fn(G, F)
+                self._plus_sharded[key] = self._bi_predict_fn(G, F, M)
             preds = np.asarray(
                 self._plus_sharded[key](
                     self.state, self.W_bi, stacked, chunk_id, fb, up
@@ -459,6 +467,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 up,
                 self.hp,
                 self.model.off_item,
+                rows_per_user=self.rows_per_user,
             )
         ).reshape(-1)
         return preds[perm]
@@ -467,7 +476,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
         """Bounded-memory streamed eval with the bilinear extras; mirrors
         SVDPPFeatureTrainer.predict_all's plan_caps branch."""
         m = self.model
-        caps = dict(ds.plan_caps(self.users_per_batch, 1))
+        caps = dict(ds.plan_caps(self.users_per_batch, self.rows_per_user))
         caps["seg_caps"] = self._stream_seg_caps(caps["seg_caps"])
         st = None if self._mesh is not None else self.state_or_model()
         out = []
@@ -485,6 +494,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 num_user=m.param.num_user,
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
+                rows_per_user=self.rows_per_user,
                 **caps,
             )
             fb, up, _ = self._bi_extras(packed)
@@ -497,17 +507,18 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                 arrays = packed.device_arrays()
                 arrays.pop("chunk_id", None)
                 G = packed.num_blocks_local
+                M = packed.rows_per_user
                 arrays, fbd, Gp, Fp = pad_plus_for_mesh(
                     arrays, fb, G, self.mesh_data, m.num_rows,
-                    m.param.num_global,
+                    m.param.num_global, M=M,
                 )
                 if Gp != G:
                     nbf = self.bparam.num_bi_feedback
                     pad = np.zeros((up.shape[0], Gp - G, nbf), np.float32)
                     up = np.concatenate([up[:, :G], pad, up[:, G:]], axis=1)
-                key = ("bi-pred", Gp, Fp, self._mesh_big)
+                key = ("bi-pred", Gp, Fp, M, self._mesh_big)
                 if key not in self._plus_sharded:
-                    self._plus_sharded[key] = self._bi_predict_fn(Gp, Fp)
+                    self._plus_sharded[key] = self._bi_predict_fn(Gp, Fp, M)
                 rep = NamedSharding(self._mesh, P())
                 preds = self._plus_sharded[key](
                     self.state,
@@ -521,13 +532,15 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
                     from jax.experimental.multihost_utils import process_allgather
 
                     preds = process_allgather(preds, tiled=True)
-                perm = (packed.perm // G) * Gp + packed.perm % G
+                GS = G * M
+                perm = (packed.perm // GS) * (Gp * M) + packed.perm % GS
                 out.append(np.asarray(preds).reshape(-1)[perm])
                 continue
             preds = np.asarray(
                 predict_batches_bi(
                     st, self.W_bi, packed.device_arrays(), packed.chunk_id,
                     fb, up, self.hp, self.model.off_item,
+                    rows_per_user=self.rows_per_user,
                 )
             ).reshape(-1)
             out.append(preds[packed.perm])

@@ -70,6 +70,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             self._mesh is not None
             or self.model.param.common_feedback_space
             or self.hp.big_table
+            or self.rows_per_user > 1  # kernel is one-row-per-unit
         ):
             return False
         stacked, _, fb, _, enabled, overlap = entry
@@ -107,10 +108,6 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         # chunks (StreamingPlusBuffer.plan_caps_imfb / chunks_imfb)
         from ..data.streaming import stream_train_round_imfb
 
-        if self.rows_per_user > 1:
-            raise NotImplementedError(
-                "rows_per_user > 1 applies to the plain SVD++ solver only"
-            )
         bpc = ds.blocks_per_chunk
         if bpc % self.users_per_batch:
             new = max(self.users_per_batch, bpc - bpc % self.users_per_batch)
@@ -159,6 +156,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             num_item=m.param.num_item,
             num_ufeedback=m.param.num_ufeedback,
             initial_stack=carry,
+            rows_per_user=self.rows_per_user,
             **caps,
         )
         enabled = self._imfb_enabled(packed.ctx_depth)
@@ -175,7 +173,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             G = packed.label.shape[1]
             arrays, fbd, Gp, _ = pad_imfb_for_mesh(
                 arrays, fbd, G, self.mesh_data, m.num_rows,
-                m.param.num_global, nseg,
+                m.param.num_global, nseg, M=packed.rows_per_user,
             )
             perm = (perm // G) * Gp + perm % G
             overlap = None
@@ -264,10 +262,6 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         if self._plain_svdpp(ds):
             return super()._pack_plus(ds, cache)
-        if self.rows_per_user > 1:
-            raise NotImplementedError(
-                "rows_per_user > 1 applies to the plain SVD++ solver only"
-            )
         key = (id(ds), "imfb")
         if not cache or key not in self._pack_cache:
             m = self.model
@@ -284,6 +278,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 num_user=m.param.num_user,
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
+                rows_per_user=self.rows_per_user,
             )
             enabled = self._imfb_enabled(packed.ctx_depth)
             if self._mesh is not None:
@@ -298,7 +293,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 G = host_arrays["label"].shape[1]
                 arrays, fbd, Gp, _ = pad_imfb_for_mesh(
                     host_arrays, fbd, G, self.mesh_data, m.num_rows,
-                    m.param.num_global, nseg,
+                    m.param.num_global, nseg, M=packed.rows_per_user,
                 )
                 sh = lambda v: NamedSharding(
                     self._mesh,
@@ -353,10 +348,11 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             return
         stacked, chunk_id, fb, _, enabled, overlap = entry
         if self._mesh is not None:
-            G = stacked["label"].shape[1]
+            M = self.rows_per_user
+            G = stacked["label"].shape[1]  # slots per batch (G_users * M)
             F = fb["fb_idx"].shape[1]
             nseg = enabled.shape[1]
-            key = ("imfb", G, F, nseg, self._mesh_big)
+            key = ("imfb", G, F, nseg, M, self._mesh_big)
             if key not in self._plus_sharded:
                 if self._mesh_big:
                     from ..parallel.imfb_mesh_big import (
@@ -375,6 +371,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                     self.tparam.scale_lr_ufeedback,
                     self.tparam.wd_ufeedback,
                     self.tparam.wd_ufeedback_bias,
+                    M=M,
                 )
             self.state = self._plus_sharded[key](
                 self.state, stacked, chunk_id, fb, enabled,
@@ -390,6 +387,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 self.tparam.scale_lr_ufeedback,
                 self.tparam.wd_ufeedback,
                 self.tparam.wd_ufeedback_bias,
+                rows_per_user=self.rows_per_user,
             )
             return
         if overlap is not None:
@@ -403,6 +401,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 self.tparam.scale_lr_ufeedback,
                 self.tparam.wd_ufeedback,
                 self.tparam.wd_ufeedback_bias,
+                rows_per_user=self.rows_per_user,
             )
             return
         self.state = train_epoch_imfb(
@@ -417,6 +416,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             self.tparam.scale_lr_ufeedback,
             self.tparam.wd_ufeedback,
             self.tparam.wd_ufeedback_bias,
+            rows_per_user=self.rows_per_user,
         )
 
     def _imfb_mesh_predict_fn(self, G, F, nseg):
