@@ -411,9 +411,38 @@ def child_main(results_path: str) -> None:
             else:
                 stacked_blocks.append(blk)
         sds = PlusDataset.from_blocks(stacked_blocks)
-        eps_st, stats_st = measure(sds, [])
+        # M=8 like the other SVD++-family throughput configs (the D>0
+        # whole-run kernel takes G*M-slot batches; within-unit-excess
+        # damping, tests/test_side_multirow.py + interpret-mode kernel
+        # parity); 2.9M -> 6.0M ex/s measured
+        eps_st, stats_st = measure(sds, [("rows_per_user", "8")])
         res["stacked_examples_per_sec"] = eps_st
         res["stacked_spread"] = stats_st["spread"]
+        # quality gate at the stacked golden's horizon (8 rounds,
+        # golden/multi_imfb_stacked.rmse.tsv regenerated from the
+        # reference binary on this same transform): fresh M=8 trainer,
+        # eval on the degenerate test set like the reference's infer
+        eds_st = load_plus_text(
+            "x", "y",
+            text=fx("ml100k.test.ug.feature.gz"),
+            feedback_text=fx("ml100k.test.feedback.gz"),
+        )
+        tsv = (ROOT / "golden" / "multi_imfb_stacked.rmse.tsv").read_text()
+        want_rounds = dict(
+            (int(a), float(b))
+            for a, b in (ln.split() for ln in tsv.splitlines() if ln.strip())
+        )
+        horizon = max(want_rounds)
+        tq = make(SVDPPMultiIMFBTrainer,
+                  dict(format_type=1, extend_type=2),
+                  pp + [("rows_per_user", "8")])
+        tq.update_rounds(sds, horizon)
+        got_st = rmse(tq.predict_all(eds_st), eds_st.rows.labels)
+        want_st = want_rounds[horizon]
+        res["stacked_final_rmse"] = round(got_st, 5)
+        res["stacked_golden_rmse"] = want_st
+        res["stacked_rmse_delta"] = round(got_st - want_st, 5)
+        res["stacked_rmse_ok"] = abs(got_st - want_st) < 0.008
         # reference binary on the SAME stacked transform, this host's CPU
         # (golden/GOLDEN.json multiIMFBStacked, min of 3 full runs)
         st_base = golden.get("multiIMFBStacked", {}).get("examples_per_sec_cpu")

@@ -361,14 +361,50 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         if M > 1:
             # implicit damping of the M-wide within-user Jacobi step
             # (ops/svdpp.train_epoch_plus body, same formulas)
-            frac = jnp.where(m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0)
             pip2 = jnp.sum(p_i * p_i, axis=1)[:, None]  # [B,1]
             pip2_g = jax.lax.dot_general(
                 S, pip2.astype(jnp.bfloat16), dnT,
                 preferred_element_type=jnp.float32,
             )  # [Gp, 1]
-            errpi = errpi / (1.0 + lr_fb * norm_col * pip2_g * frac)
-            err_g = err_g / (1.0 + lr_fb * norm_col * (m_g - 1.0) * (m_g > 0))
+            if D == 0:
+                # one unit per segment: excess is m_g - 1
+                frac = jnp.where(
+                    m_g > 0, (m_g - 1.0) / jnp.maximum(m_g, 1.0), 0.0
+                )
+                errpi = errpi / (1.0 + lr_fb * norm_col * pip2_g * frac)
+                err_g = err_g / (
+                    1.0 + lr_fb * norm_col * (m_g - 1.0) * (m_g > 0)
+                )
+            else:
+                # contexts are SHARED across units: damp only the
+                # WITHIN-unit excess m_g - U (U = distinct units feeding
+                # the context, the present/m_unit indicator summed by
+                # the same multi-hot selector) — the exact law of
+                # ops/imfb._imfb_step's rows_per_user branch.  m_unit is
+                # broadcast to slots via a banded unit selector matmul
+                # (Mosaic rejects cross-lane reshapes).
+                band_r = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0) // M
+                band_c = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1) // M
+                Su = (band_r == band_c).astype(jnp.bfloat16)  # [B, B]
+                m_slot = jax.lax.dot_general(
+                    Su, weight[:, None].astype(jnp.bfloat16), dn,
+                    preferred_element_type=jnp.float32,
+                )  # [B, 1] present rows of the slot's unit
+                ind = jnp.where(
+                    m_slot > 0,
+                    weight[:, None] / jnp.maximum(m_slot, 1.0),
+                    0.0,
+                )
+                U = jax.lax.dot_general(
+                    S, ind.astype(jnp.bfloat16), dnT,
+                    preferred_element_type=jnp.float32,
+                )  # [Gp, 1]
+                excess = jnp.maximum(m_g - U, 0.0)
+                frac = jnp.where(
+                    m_g > 0, excess / jnp.maximum(m_g, 1.0), 0.0
+                )
+                errpi = errpi / (1.0 + lr_fb * norm_col * pip2_g * frac)
+                err_g = err_g / (1.0 + lr_fb * norm_col * excess)
         powd = jnp.exp(m_g * logd_ref[r]) - 1.0   # d^m_g - 1
         powdb = jnp.exp(m_g * logdb_ref[r]) - 1.0
         dtmp = jnp.concatenate(
@@ -592,8 +628,9 @@ def train_rounds_svdpp_pallas(
 
 def pallas_imfb_supported(hp, state, stacked, fb, enabled, off_user) -> bool:
     """Stacked multi-IMFB whole-run kernel: the SVD++ predicate plus
-    imfb-specific shape constraints (M=1 layout, context count fits the
-    padded segment dimension)."""
+    imfb-specific shape constraints (context count fits the padded
+    segment dimension); layout-agnostic in rows_per_user — ctx planes
+    are per-slot, and the M>1 damping rides the same selector."""
     n, k = state.w.shape
     GS = stacked["label"].shape[1]
     return (
@@ -623,7 +660,7 @@ def pallas_imfb_supported(hp, state, stacked, fb, enabled, off_user) -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("hp", "off_user", "off_item"),
+    static_argnames=("hp", "off_user", "off_item", "rows_per_user"),
     donate_argnames=("state",),
 )
 def train_rounds_imfb_pallas(
@@ -641,6 +678,7 @@ def train_rounds_imfb_pallas(
     scale_lr_ufeedback=1.0,
     wd_ufeedback=0.0,
     wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
 ) -> TrainState:
     """Multi-round STACKED multi-IMFB training as one fused Pallas kernel.
 
@@ -664,7 +702,8 @@ def train_rounds_imfb_pallas(
     WU = _round_up(off_item - AU, 128)
     AI = (off_item // 128) * 128
     WI = NP - AI
-    kernel = _make_kernel(hp, GS, NP, N, k, GS, 1, Gp, Fp, Nfb, R, T,
+    M = rows_per_user
+    kernel = _make_kernel(hp, GS, NP, N, k, GS // M, M, Gp, Fp, Nfb, R, T,
                           AU, WU, AI, WI, SI=1, D=D)
 
     u_idx = stacked["u_idx"][..., 0][:, None, :]

@@ -70,7 +70,6 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             self._mesh is not None
             or self.model.param.common_feedback_space
             or self.hp.big_table
-            or self.rows_per_user > 1  # kernel is one-row-per-unit
         ):
             return False
         stacked, _, fb, _, enabled, overlap = entry
@@ -95,6 +94,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             self.tparam.scale_lr_ufeedback,
             self.tparam.wd_ufeedback,
             self.tparam.wd_ufeedback_bias,
+            rows_per_user=self.rows_per_user,
         )
 
     def _stream_round_plus(self, ds) -> None:

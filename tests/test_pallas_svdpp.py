@@ -209,7 +209,8 @@ def synth_stacked_ds(seed=2, n_users=24):
 
 
 @pytest.mark.parametrize("extra", [{}, {"no_user_bias": 1},
-                                   {"ufeedback_disable_level": 1}])
+                                   {"ufeedback_disable_level": 1},
+                                   {"rows_per_user": 2}])
 def test_pallas_imfb_matches_carried_interpret(extra):
     """Stacked multi-IMFB whole-run kernel (D>0 mode) vs the carried jnp
     epoch, interpret mode — multi-hot context selector, depth gate."""
@@ -242,7 +243,7 @@ def test_pallas_imfb_matches_carried_interpret(extra):
     for _ in range(R):
         st = train_epoch_imfb_carried(
             st, stacked, chunk_id, fb, overlap, enabled, lr, tr.consts,
-            tr.hp, *fbh,
+            tr.hp, *fbh, rows_per_user=tr.rows_per_user,
         )
 
     lrs = jnp.full((R,), lr, jnp.float32)
@@ -251,6 +252,7 @@ def test_pallas_imfb_matches_carried_interpret(extra):
             jax.tree.map(jnp.copy, tr.state), stacked, chunk_id, fb,
             overlap, enabled, lrs, tr.consts, tr.hp,
             tr.model.off_user, tr.model.off_item, *fbh,
+            rows_per_user=tr.rows_per_user,
         )
     np.testing.assert_allclose(
         np.asarray(out.w), np.asarray(st.w), atol=2e-4, rtol=1e-3
