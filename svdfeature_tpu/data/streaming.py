@@ -210,13 +210,14 @@ class StreamingPlusBuffer:
     def plan_caps(self, G: int, M: int = 1) -> dict:
         """Stable pack_plus caps for chunks of ``blocks_per_chunk``
         logical blocks grouped G users per batch, M rows per user.
-        Pure function of the pre-scan; cached per (G, M) — it is
-        re-requested every round."""
-        if (G, M) in self._caps_cache:
-            return self._caps_cache[(G, M)]
+        Pure function of the pre-scan; cached per (G, M,
+        blocks_per_chunk) — it is re-requested every round, and the
+        solver may round blocks_per_chunk between calls."""
+        K = self.blocks_per_chunk
+        if (G, M, K) in self._caps_cache:
+            return self._caps_cache[(G, M, K)]
         sizes = np.asarray(self.logical_sizes, np.int64)
         fbs = np.asarray(self.logical_fb, np.int64)
-        K = self.blocks_per_chunk
         t_cap = f_cap = c_cap = 1
         for lo in range(0, self.num_block, K):
             s = sizes[lo : lo + K]
@@ -234,7 +235,7 @@ class StreamingPlusBuffer:
             t_cap=t_cap, f_cap=f_cap, c_cap=c_cap,
             seg_caps=tuple(self.max_nnz),
         )
-        self._caps_cache[(G, M)] = caps
+        self._caps_cache[(G, M, K)] = caps
         return caps
 
     # ---- stacked multi-IMFB streams (tags = context push/pop protocol,
@@ -268,17 +269,19 @@ class StreamingPlusBuffer:
             raise ValueError("unterminated feedback context in buffer")
         return snapshots, ctx_nfb, ctx_depth, units
 
-    def plan_caps_imfb(self, G: int) -> dict:
+    def plan_caps_imfb(self, G: int, M: int = 1) -> dict:
         """Stable pack_imfb caps for streamed chunks of blocks_per_chunk
-        UNITS (blocks with rows), grouped G units per pack-chunk.  Mirrors
-        exactly the packing every chunk will perform (local-context
-        first-appearance order, pool sizes), so one compiled program
-        covers the whole stream."""
-        key = ("imfb", G)
+        UNITS (blocks with rows), grouped G units per pack-chunk, M rows
+        per unit.  Mirrors exactly the packing every chunk will perform
+        (local-context first-appearance order, pool sizes, the
+        ceil-by-M scan length), so one compiled program covers the
+        whole stream.  Keyed by blocks_per_chunk too — the solver may
+        round it between calls."""
+        K = self.blocks_per_chunk
+        key = ("imfb", G, M, K)
         if key in self._caps_cache:
             return self._caps_cache[key]
         snapshots, ctx_nfb, _, units = self._imfb_units()
-        K = self.blocks_per_chunk
         t_cap = f_cap = c_cap = d_cap = m_cap = 1
         for lo in range(0, len(units), K):
             chunk_units = units[lo : lo + K]
@@ -286,7 +289,7 @@ class StreamingPlusBuffer:
             t_c = 0
             for g0 in range(0, len(chunk_units), G):
                 group = chunk_units[g0 : g0 + G]
-                t_c += max(self.phys[bi][0] for bi in group)
+                t_c += -(-max(self.phys[bi][0] for bi in group) // M)
                 seen: list = []
                 for bi in group:
                     d_cap = max(d_cap, len(snapshots[bi]))
@@ -392,7 +395,9 @@ def stream_train_round_imfb(trainer, source: StreamingPlusBuffer, prefetch: int 
     users_per_batch (pinned by tests/test_streaming.py)."""
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
-    caps = source.plan_caps_imfb(trainer.users_per_batch)
+    caps = source.plan_caps_imfb(
+        trainer.users_per_batch, trainer.rows_per_user
+    )
 
     def produce():
         try:

@@ -149,13 +149,16 @@ def write_rows_unique(w, rows_idx, rows_val, *, row_dma: bool):
     return w.at[rows_idx].set(rows_val, mode="drop")
 
 
-def gather_rows(w, idx, *, row_dma: bool):
-    """Row gather w[idx]."""
-    if row_dma:
-        from .pallas_scatter import row_reader
+def gather_rows(w, idx, *, row_dma: bool = False):
+    """Row gather w[idx] — always the native XLA gather.
 
-        shp = idx.shape
-        return row_reader(w, idx.reshape(-1)).reshape(shp + (w.shape[1],))
+    ``row_dma`` is accepted (call sites pass hp.row_dma symmetrically
+    with write_rows_unique) but ignored: the per-row DMA kernel only
+    wins for the in-place WRITE direction, where XLA would copy the
+    table.  For reads the XLA gather is faster at every scale measured
+    (61-62 vs 73-75 ns/row at 2M rows, 36 vs 53 at 131k on v5e), so
+    every read site rides it uniformly."""
+    del row_dma
     return w[idx]
 
 
@@ -209,12 +212,10 @@ def _forward_entries(
         ref_g = jnp.where(cg > 0, step0, ref_g)
 
     # ---- forward: augmented-row gathers with per-entry lazy catch-up ------
-    # reads always ride the native XLA gather: measured 61-62 ns/row vs
-    # the per-row DMA kernel's 73-75 at 2M-row scale (and 36 vs 53 at
-    # 131k) — DMA only wins for the in-place WRITE direction, where XLA
-    # would copy the table (write_rows_unique keeps row_dma)
-    rows_u = gather_rows(w, u_idx, row_dma=False)  # [B,Su,W]
-    rows_i = gather_rows(w, i_idx, row_dma=False)
+    # (gather_rows is always the XLA gather — see its docstring; the DMA
+    # kernel stays on the write direction, write_rows_unique)
+    rows_u = gather_rows(w, u_idx)  # [B,Su,W]
+    rows_i = gather_rows(w, i_idx)
     wu, bu = rows_u[..., :k], rows_u[..., k]
     wi, bi = rows_i[..., :k], rows_i[..., k]
     if lazy:

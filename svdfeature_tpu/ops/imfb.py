@@ -50,6 +50,36 @@ def _ctx_aggregates(w, b, cfb, nseg: int, with_bias: bool):
     return fb_sum, norm, fb_bias
 
 
+def _damp_widened(S, S_b, present, flat_ctx, nrow, norm, p_i, lr_fb,
+                  rows_per_user: int, D: int, nseg: int, with_bias: bool):
+    """Implicitly-damped widened Jacobi step for rows_per_user (RM) > 1 —
+    the per-CONTEXT form of ops/svdpp._plus_step's per-user damping.
+    Only the WITHIN-unit excess is damped: U = distinct units feeding the
+    context this batch (sum of present/m_unit), so excess = nrow - U is 0
+    whenever every unit contributes one row — cross-unit sharing already
+    sums undamped at RM=1 (golden-validated), and the RM>1 path
+    degenerates bit-identically on single-row units."""
+    RM = rows_per_user
+    m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
+    ind = (
+        jnp.repeat(
+            jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0), RM
+        )
+        * present
+    )
+    U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
+    pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
+        jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
+    )
+    excess = jnp.maximum(nrow - U, 0.0)
+    frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
+    S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
+    if with_bias:
+        S_b = S_b / (1.0 + lr_fb * norm * excess)
+    return S, S_b
+
+
+
 def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper,
                rows_per_user: int = 1):
     lr_fb, d, db = fb_hyper
@@ -106,30 +136,10 @@ def _imfb_step(state, batch, cfb, enabled, lr, consts, hp, fb_hyper,
         else None
     )
     if rows_per_user > 1:
-        # implicitly-damped widened Jacobi step, the per-CONTEXT form of
-        # ops/svdpp._plus_step's per-user damping.  Only the WITHIN-unit
-        # excess nrow - U is damped (U = distinct units feeding the
-        # context, computed as sum of present/m_unit): cross-unit sharing
-        # already sums undamped at RM=1 (golden-validated), so RM>1
-        # degenerates bit-identically whenever every unit has one row
-        RM = rows_per_user
-        present = batch["weight"]
-        m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
-        ind = (
-            jnp.repeat(
-                jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0), RM
-            )
-            * present
+        S, S_b = _damp_widened(
+            S, S_b, batch["weight"], flat_ctx, nrow, norm, p_i, lr_fb,
+            rows_per_user, D, nseg, with_bias,
         )
-        U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
-        pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
-            jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
-        )
-        excess = jnp.maximum(nrow - U, 0.0)
-        frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
-        S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
-        if with_bias:
-            S_b = S_b / (1.0 + lr_fb * norm * excess)
     dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
     delta = dtmp * (inv_norm * gate)[:, None]
     w = w.at[cfb["fb_idx"]].add(delta[cfb["fb_ctx"]] * cfb["fb_val"][:, None])
@@ -300,28 +310,10 @@ def train_epoch_imfb_carried(
             else None
         )
         if rows_per_user > 1:
-            # implicitly-damped widened Jacobi step (see _imfb_step)
-            RM = rows_per_user
-            present = batch["weight"]
-            m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
-            ind = (
-                jnp.repeat(
-                    jnp.where(
-                        m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0
-                    ),
-                    RM,
-                )
-                * present
+            S, S_b = _damp_widened(
+                S, S_b, batch["weight"], flat_ctx, nrow, norm, p_i,
+                lr_fb, rows_per_user, D, nseg, with_bias,
             )
-            U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
-            pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
-                jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
-            )
-            excess = jnp.maximum(nrow - U, 0.0)
-            frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
-            S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
-            if with_bias:
-                S_b = S_b / (1.0 + lr_fb * norm * excess)
         dtmp = (
             fb_sum * (jnp.power(d, nrow) - 1.0)[:, None]
             + lr_fb * norm[:, None] * S
@@ -402,25 +394,10 @@ def _imfb_step_big(state, batch, cfb, enabled, lr, consts, hp, fb_hyper,
         else None
     )
     if rows_per_user > 1:
-        # implicitly-damped widened Jacobi step (see _imfb_step)
-        RM = rows_per_user
-        present = batch["weight"]
-        m_unit = present.reshape(present.shape[0] // RM, RM).sum(axis=1)
-        ind = (
-            jnp.repeat(
-                jnp.where(m_unit > 0, 1.0 / jnp.maximum(m_unit, 1.0), 0.0), RM
-            )
-            * present
+        S, S_b = _damp_widened(
+            S, S_b, batch["weight"], flat_ctx, nrow, norm, p_i, lr_fb,
+            rows_per_user, D, nseg, with_bias,
         )
-        U = jnp.zeros((nseg,)).at[flat_ctx].add(jnp.repeat(ind, D))
-        pip2 = jnp.zeros((nseg,)).at[flat_ctx].add(
-            jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)
-        )
-        excess = jnp.maximum(nrow - U, 0.0)
-        frac = jnp.where(nrow > 0, excess / jnp.maximum(nrow, 1.0), 0.0)
-        S = S / (1.0 + lr_fb * norm * pip2 * frac)[:, None]
-        if with_bias:
-            S_b = S_b / (1.0 + lr_fb * norm * excess)
     dtmp = fb_sum * (jnp.power(d, nrow) - 1.0)[:, None] + lr_fb * norm[:, None] * S
     delta = dtmp * (inv_norm * gate)[:, None]
     if with_bias:

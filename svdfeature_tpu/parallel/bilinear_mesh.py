@@ -216,16 +216,12 @@ def _make_bilinear_body(
         )
 
         # ---- feedback writeback (replicated delta, masked to owned rows)
+        cols = [err[:, None] * p_i, batch["weight"][:, None], err[:, None]]
+        if M > 1:
+            # |p_i|^2 column only when the damping reads it
+            cols.append(jnp.sum(p_i * p_i, axis=1, keepdims=True))
         red = jax.lax.psum(
-            _seg_sum_stacked(
-                nseg,
-                slot,
-                jnp.concatenate(
-                    [err[:, None] * p_i, batch["weight"][:, None],
-                     err[:, None],
-                     jnp.sum(p_i * p_i, axis=1, keepdims=True)], axis=1,
-                ),
-            ),
+            _seg_sum_stacked(nseg, slot, jnp.concatenate(cols, axis=1)),
             "data",
         )[:G]
         errpi, m_g, err_g = red[:, :k], red[:, k], red[:, k + 1]

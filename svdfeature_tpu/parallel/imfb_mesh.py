@@ -112,7 +112,17 @@ def _make_imfb_body(
         g_local, D = ctx.shape
         flat_ctx = ctx.reshape(-1)
         present = batch["weight"]
+        cols = [
+            jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(
+                g_local * D, k
+            ),
+            jnp.repeat(present, D)[:, None],
+            jnp.repeat(err, D)[:, None],
+        ]
         if M > 1:
+            # extra M>1 columns: per-row |p_i|^2 and the present/m_unit
+            # unit indicator (U); omitted at M=1 so the cross-shard psum
+            # payload stays [nseg, k+2]
             m_unit = present.reshape(g_local // M, M).sum(axis=1)
             ind = (
                 jnp.repeat(
@@ -121,26 +131,13 @@ def _make_imfb_body(
                 )
                 * present
             )
-        else:
-            ind = present
+            cols += [
+                jnp.repeat(jnp.sum(p_i * p_i, axis=1), D)[:, None],
+                jnp.repeat(ind, D)[:, None],
+            ]
         red = jax.lax.psum(
             _seg_sum_stacked(
-                nseg,
-                flat_ctx,
-                jnp.concatenate(
-                    [
-                        jnp.repeat(err[:, None] * p_i, D, axis=0).reshape(
-                            g_local * D, k
-                        ),
-                        jnp.repeat(present, D)[:, None],
-                        jnp.repeat(err, D)[:, None],
-                        jnp.repeat(
-                            jnp.sum(p_i * p_i, axis=1), D
-                        )[:, None],
-                        jnp.repeat(ind, D)[:, None],
-                    ],
-                    axis=1,
-                ),
+                nseg, flat_ctx, jnp.concatenate(cols, axis=1)
             ),
             "data",
         )

@@ -221,7 +221,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
 
     def _predict_streamed_imfb(self, ds) -> np.ndarray:
         """Bounded-memory prediction over a streamed stacked source."""
-        caps = ds.plan_caps_imfb(self.users_per_batch)
+        caps = ds.plan_caps_imfb(self.users_per_batch, self.rows_per_user)
         out = []
         for chunk, carry in ds.chunks_imfb():
             entry = self.stage_chunk_imfb(self.pack_imfb_chunk(chunk, carry, caps))

@@ -896,6 +896,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
 
         K = self.PAIR_BLOCK_ROUNDS
         blocks = [lrs[i: i + K] for i in range(0, len(lrs), K)]
+        if not blocks:  # zero rounds: no-op like the per-round loop
+            return
 
         def sample(n):
             opl, onl = ds.sample_offsets(n, sk["multi_rng"])

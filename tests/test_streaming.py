@@ -744,3 +744,29 @@ def test_plus_streamed_mesh_big_matches_staged(tmp_path):
         np.asarray(streamed.model.w), np.asarray(staged.model.w),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_plan_caps_rekeyed_on_blocks_per_chunk(tmp_path):
+    """Caps are re-planned when blocks_per_chunk changes between calls
+    (the solver rounds it to a users_per_batch multiple mid-stream)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=5)
+    caps5 = dict(src.plan_caps(2, 1))
+    imfb5 = dict(src.plan_caps_imfb(2, 1))
+    src.blocks_per_chunk = 4
+    caps4 = dict(src.plan_caps(2, 1))
+    imfb4 = dict(src.plan_caps_imfb(2, 1))
+    assert caps4 != caps5 or caps4["c_cap"] == caps5["c_cap"]
+    # the re-plan actually ran (not a stale cache hit): t_cap follows
+    # the 4-unit grouping
+    src2 = StreamingPlusBuffer(path, blocks_per_chunk=4)
+    assert caps4 == dict(src2.plan_caps(2, 1))
+    assert imfb4 == dict(src2.plan_caps_imfb(2, 1))
+    # M>1 shrinks the imfb scan cap by the ceil-divide like plus caps
+    imfb4_m2 = dict(src2.plan_caps_imfb(2, 2))
+    assert imfb4_m2["t_cap"] <= imfb4["t_cap"]
