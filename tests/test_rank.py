@@ -467,3 +467,20 @@ def test_pair_mesh_matches_single():
     np.testing.assert_allclose(
         meshed.predict_all(ep), single.predict_all(ep), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pair_multi_path_zero_rounds_noop(monkeypatch):
+    """update_rounds(src, 0) on the multi-round host-sampled path is a
+    no-op (regression: blocks[0] IndexError on an empty lr schedule)."""
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "default_device_is_tpu", lambda: True)
+    ds = _noglobal_pair_ds()
+    tr = _mini_rank_trainer(
+        [("users_per_batch", "16"), ("num_global", "0"),
+         ("num_user", "60"), ("num_item", "100"), ("num_ufeedback", "130")]
+    )
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    w0 = np.asarray(tr.state.w).copy()
+    tr.update_rounds(src, 0)
+    np.testing.assert_array_equal(np.asarray(tr.state.w), w0)
