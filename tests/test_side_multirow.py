@@ -266,3 +266,64 @@ def test_imfb_multirow_stacked_streamed_matches_staged(tmp_path):
         streamed.predict_all(src), staged.predict_all(ds),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_bilinear_multirow_streamed_mesh_matches_staged(tmp_path):
+    """All three axes at once: streaming x (2x2) mesh x rows_per_user=2
+    equals the staged single-device M=2 trainer."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    staged = make_bi_trainer(dict(rows_per_user=2))
+    meshed = make_bi_trainer(
+        dict(rows_per_user=2, mesh_data=2, mesh_model=2)
+    )
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+    for _ in range(3):
+        staged.update_all(ds)
+        meshed.update_all(src)
+    staged._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        meshed.predict_all(src), staged.predict_all(ds),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_imfb_multirow_stacked_streamed_mesh_matches_staged(tmp_path):
+    """Stacked multi-IMFB x streaming x mesh x rows_per_user=2."""
+    if _cpu_devices(4) is None:
+        pytest.skip("not enough devices")
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    staged = make_imfb_trainer(dict(rows_per_user=2))
+    meshed = make_imfb_trainer(
+        dict(rows_per_user=2, mesh_data=2, mesh_model=2)
+    )
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+    for _ in range(3):
+        staged.update_all(ds)
+        meshed.update_all(src)
+    staged._sync_model_from_state()
+    meshed._sync_model_from_state()
+    np.testing.assert_allclose(
+        np.asarray(meshed.model.w), np.asarray(staged.model.w),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        meshed.predict_all(src), staged.predict_all(ds),
+        rtol=1e-4, atol=1e-5,
+    )
