@@ -122,19 +122,20 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             lrfb_ref,           # [R] lr_fb = lr_r * scale_lr_ufeedback
             cid_ref,            # [T] chunk id per step
             pcid_ref,           # [T] chunk id of step t-1 (t=0 -> chunk T-1)
+            ntc_ref,            # [C] per-chunk live pool tiles (<= Fp/FB_TILE)
             # batch blocks (SI (idx, val) pairs for the item segment)
             u_idx_ref, u_val_ref,
-        ) = refs[:10]
-        item_refs = refs[10:10 + 2 * SI]
-        ctx_refs = refs[10 + 2 * SI:10 + 2 * SI + D]
+        ) = refs[:11]
+        item_refs = refs[11:11 + 2 * SI]
+        ctx_refs = refs[11 + 2 * SI:11 + 2 * SI + D]
         (
             label_ref, weight_ref,
             # per-round row-decay log tables (windows of [R, NP, 1])
             lu_ref, li_ref,
             # current chunk pool [1, Fp] + overlap [1, Gp, Gp]
             fbi_ref, fbv_ref, fbb_ref, O_ref,
-        ) = refs[10 + 2 * SI + D:18 + 2 * SI + D]
-        gate_refs = refs[18 + 2 * SI + D:18 + 2 * SI + D + (1 if D else 0)]
+        ) = refs[11 + 2 * SI + D:19 + 2 * SI + D]
+        gate_refs = refs[19 + 2 * SI + D:19 + 2 * SI + D + (1 if D else 0)]
         (
             # previous chunk pool [1, Fp] (for the boundary flush)
             pfbi_ref, pfbv_ref, pfbb_ref,
@@ -145,7 +146,7 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             agg_ref,   # [Gp, k+2]: [fb_sum | fb_bias | norm]
             inv_ref,   # [Gp, 1]  : 1/norm (0 where empty)
             dacc_ref,  # [Gp, k+1]: accumulated [dw | db] deltas
-        ) = refs[18 + 2 * SI + D + (1 if D else 0):]
+        ) = refs[19 + 2 * SI + D + (1 if D else 0):]
         r = pl.program_id(0)
         t = pl.program_id(1)
         lr = lrs_ref[r]
@@ -161,8 +162,13 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             b_ref[:] = jnp.where(live, b_in_ref[:], 0.0)
             dacc_ref[:] = jnp.zeros((Gp, kb), jnp.float32)
 
-        def fb_tiles(idx_ref, val_ref, blk_ref, body, init):
-            """fori_loop over FT-entry pool tiles; body gets (E, A, fval)."""
+        def fb_tiles(idx_ref, val_ref, blk_ref, body, init, nt):
+            """fori_loop over the chunk's LIVE FT-entry pool tiles (nt =
+            ceil(real entries / FB_TILE), scalar-prefetched per chunk);
+            body gets (E, A, fval).  Tiles past nt hold only padding
+            (value 0 -> zero contribution), so skipping them is exact —
+            and on sorted packings most chunks are far below the max
+            pool Fp, cutting the boundary scan ~(C*Fp / sum Fc)x."""
             def step(i, carry):
                 o = i * FB_TILE
                 fi = idx_ref[0, 0, pl.ds(o, FB_TILE)]
@@ -178,12 +184,12 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
                 A = (fbk[:, None] == iota_g).astype(jnp.bfloat16)
                 return body(carry, E, A, fv)
 
-            return jax.lax.fori_loop(0, NT, step, init)
+            return jax.lax.fori_loop(0, nt, step, init)
 
         dn = (((1,), (0,)), ((), ()))
         dnT = (((0,), (0,)), ((), ()))
 
-        def apply_pool_delta(i_ref, v_ref, k_ref):
+        def apply_pool_delta(i_ref, v_ref, k_ref, nt):
             """Scatter dacc over the pool rows of the referenced chunk:
             w[fb_idx_f] += dacc[fb_block_f] * fval_f (update_ufeedback,
             apex_svd_base.h:539-554, accumulated over the chunk).  Stores
@@ -201,7 +207,8 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
                 )
 
             out = fb_tiles(
-                i_ref, v_ref, k_ref, tile, jnp.zeros((Nfb, kb), jnp.float32)
+                i_ref, v_ref, k_ref, tile, jnp.zeros((Nfb, kb), jnp.float32),
+                nt,
             )
             pad = jnp.zeros((NP - Nfb, kb), jnp.float32)
             full = jnp.concatenate([out, pad], axis=0)  # [NP, k+1]
@@ -213,7 +220,9 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         # aggregates from the live feedback slab
         @pl.when(first & ~at_first_cell)
         def _():
-            apply_pool_delta(pfbi_ref, pfbv_ref, pfbb_ref)
+            apply_pool_delta(
+                pfbi_ref, pfbv_ref, pfbb_ref, ntc_ref[pcid_ref[t]]
+            )
 
         @pl.when(first)
         def _():
@@ -234,6 +243,7 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
             agg = fb_tiles(
                 fbi_ref, fbv_ref, fbb_ref, gather,
                 jnp.zeros((Gp, k + 2), jnp.float32),
+                ntc_ref[cid_ref[t]],
             )
             agg_ref[:] = agg
             norm = agg[:, k + 1 : k + 2]
@@ -433,7 +443,7 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
         # ---- final flush (last grid cell): current chunk's deltas
         @pl.when((r == R - 1) & (t == T - 1))
         def _():
-            apply_pool_delta(fbi_ref, fbv_ref, fbb_ref)
+            apply_pool_delta(fbi_ref, fbv_ref, fbb_ref, ntc_ref[cid_ref[t]])
 
     return kernel
 
@@ -517,6 +527,16 @@ def train_rounds_svdpp_pallas(
 
     cid = chunk_id.astype(jnp.int32)
     pcid = jnp.roll(cid, 1)  # chunk of the previous step; t=0 -> last chunk
+    # per-chunk live pool tiles: pools are filled from the front, so the
+    # last nonzero value bounds the live region (zero-valued entries
+    # contribute nothing to aggregates or writebacks either way)
+    live = fb["fb_val"] != 0  # [C, F]
+    cnt = jnp.where(
+        live.any(axis=1),
+        F - jnp.argmax(live[:, ::-1], axis=1),
+        0,
+    ).astype(jnp.int32)
+    ntc = -(-cnt // FB_TILE)
 
     # pad pool to Fp (padded entries: idx = N-1 outside the fb slab in
     # value terms -> one-hot misses; val 0; block = G)
@@ -555,26 +575,26 @@ def train_rounds_svdpp_pallas(
     row_spec = pl.BlockSpec(
         (1, NP, 1), lambda r, t, *_: (r, 0, 0), memory_space=pltpu.VMEM
     )
-    # scalar-prefetch operand order (8): lrs, lbu, lbi, logd, logdb, lrfb,
-    # cid, pcid -> index-map args follow the grid ids
+    # scalar-prefetch operand order (9): lrs, lbu, lbi, logd, logdb, lrfb,
+    # cid, pcid, ntc -> index-map args follow the grid ids
     pool_cur = pl.BlockSpec(
         (1, 1, Fp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (cid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
     pool_prev = pl.BlockSpec(
         (1, 1, Fp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (pcid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (pcid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
     O_spec = pl.BlockSpec(
         (1, Gp, Gp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (cid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(R, T),
         in_specs=[
             ui_spec(u_idx), ui_spec(u_val),
@@ -592,8 +612,8 @@ def train_rounds_svdpp_pallas(
             pltpu.VMEM((Gp, k + 1), jnp.float32),
         ],
     )
-    # tables are operands 8 (scalar prefetch) + 13 + 2*SI onward
-    w_op = 21 + 2 * SI
+    # tables are operands 9 (scalar prefetch) + 13 + 2*SI onward
+    w_op = 22 + 2 * SI
     w_out, b_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -606,7 +626,7 @@ def train_rounds_svdpp_pallas(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
     )(
-        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid,
+        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid, ntc,
         u_idx, u_val, *item_ops, label, weight,
         log_u, log_i,
         fbi, fbv, fbb, O,
@@ -735,6 +755,14 @@ def train_rounds_imfb_pallas(
 
     cid = chunk_id.astype(jnp.int32)
     pcid = jnp.roll(cid, 1)
+    # per-chunk live pool tiles (see train_rounds_svdpp_pallas)
+    live = fb["fb_val"] != 0  # [C, F]
+    cnt = jnp.where(
+        live.any(axis=1),
+        F - jnp.argmax(live[:, ::-1], axis=1),
+        0,
+    ).astype(jnp.int32)
+    ntc = -(-cnt // FB_TILE)
 
     padF = Fp - F
     fbi = jnp.pad(fb["fb_idx"].astype(jnp.int32), ((0, 0), (0, padF)),
@@ -762,27 +790,27 @@ def train_rounds_imfb_pallas(
     )
     pool_cur = pl.BlockSpec(
         (1, 1, Fp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (cid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
     pool_prev = pl.BlockSpec(
         (1, 1, Fp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (pcid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (pcid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
     O_spec = pl.BlockSpec(
         (1, Gp, Gp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (cid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
     gate_spec = pl.BlockSpec(
         (1, 1, Gp),
-        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid: (cid[t], 0, 0),
+        lambda r, t, lrs, lbu, lbi, ld, ldb, lf, cid, pcid, ntc: (cid[t], 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(R, T),
         in_specs=[
             batch_spec(u_idx), batch_spec(u_val),
@@ -802,10 +830,10 @@ def train_rounds_imfb_pallas(
             pltpu.VMEM((Gp, k + 1), jnp.float32),
         ],
     )
-    # operand index of w: 8 scalar prefetch + 4 u/i planes + D ctx planes
+    # operand index of w: 9 scalar prefetch + 4 u/i planes + D ctx planes
     # + label/weight + 2 row-decay tables + 4 pool/overlap + gate
-    # + 3 prev-pool = 24 + D
-    w_op = 24 + D
+    # + 3 prev-pool = 25 + D
+    w_op = 25 + D
     w_out, b_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -818,7 +846,7 @@ def train_rounds_imfb_pallas(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
     )(
-        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid,
+        lrs, log_bu, log_bi, log_d, log_db, lr_fbs, cid, pcid, ntc,
         u_idx, u_val, i_idx, i_val, *ctx_ops, label, weight,
         log_u, log_i,
         fbi, fbv, fbb, O, gate,
