@@ -86,7 +86,7 @@ def _pair_multi_train(
     map (jp_slot/jn_slot; pad slots point at the tables' trailing dummy
     row).  Measured on v5e: 10 scalar gathers cost 12.9 ms/round, MORE
     than the 10 ms/round whole-run kernel — this layout cuts assembly
-    ~3x (scripts/prof_rank6.py)."""
+    ~3x (measured; scripts/prof_rank4.py is the surviving probe)."""
     from ..ops.pallas_svdpp import train_rounds_svdpp_pallas
 
     K = lrs.shape[0]
