@@ -110,7 +110,6 @@ def _make_kernel(hp, B, NP, N, k, G, M, Gp, Fp, Nfb, R, T,
     accumulate AND no decay, update_svdpp :85-94)."""
     at = hp.active_type
     with_user_bias = not hp.no_user_bias
-    NT = Fp // FB_TILE
     kb = k + 1  # factor cols + bias col
 
     def kernel(*refs):
