@@ -89,6 +89,7 @@ def pack_imfb(
     m_cap: int = 0,
     seg_caps=None,
     rows_per_user: int = 1,
+    sort_blocks: bool = False,
 ) -> PackedImfbBatches:
     """initial_stack: contexts open at dataset entry (streamed fragments
     of a larger tag stream, data/streaming.py) as (fb_index, fb_value,
@@ -107,7 +108,16 @@ def pack_imfb(
     (slot = g*RM + m, like pack_plus) — the within-unit Jacobi widening;
     ctx_slots replicate the unit's stack snapshot on every present slot,
     so the per-context device accumulation is layout-free (ops/imfb.py
-    applies the damping)."""
+    applies the damping).
+
+    sort_blocks: size-desc unit ordering before chunking (pack_plus's
+    knob applied to stacked units) — chunks hold similar-sized units so
+    the scan length T = sum ceil(max_c/RM) collapses toward the dense
+    bound.  Context SEMANTICS are order-free (each unit keeps its walk
+    snapshot; a context spanning reordered units simply appears in every
+    chunk that hosts one of them), only the hogwild processing order
+    changes — same contract as pack_plus's sort_blocks.  Suppressed
+    under caps: the stream planner mirrors file order."""
     # --- walk the tag-driven stack
     contexts = []  # (fb_index, fb_value, depth)
     snapshots: List[List[int]] = []  # per block: active context ids
@@ -133,6 +143,13 @@ def pack_imfb(
         if ds.block_row_ptr[bi + 1] > ds.block_row_ptr[bi]
     ]
     use_caps = bool(t_cap or f_cap or c_cap or d_cap or m_cap)
+    if sort_blocks and not use_caps:
+        usizes = np.array(
+            [int(ds.block_row_ptr[bi + 1] - ds.block_row_ptr[bi])
+             for bi, _ in units],
+            np.int64,
+        )
+        units = [units[int(i)] for i in np.argsort(-usizes, kind="stable")]
     D = max((len(s) for _, s in units), default=1)
     if use_caps:
         if d_cap and D > d_cap:

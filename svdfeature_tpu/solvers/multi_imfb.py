@@ -279,6 +279,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
                 num_item=m.param.num_item,
                 num_ufeedback=m.param.num_ufeedback,
                 rows_per_user=self.rows_per_user,
+                sort_blocks=bool(self.sort_blocks),
             )
             enabled = self._imfb_enabled(packed.ctx_depth)
             if self._mesh is not None:
