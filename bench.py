@@ -59,7 +59,11 @@ import sys
 import time
 
 ROOT = pathlib.Path(__file__).parent
-RESULTS = ROOT / ".bench_results_last.jsonl"
+# Per-invocation scratch so concurrent bench runs (e.g. a CPU smoke next
+# to a TPU capture) cannot cross-contaminate each other's results; the
+# parent copies the final scratch to the canonical artifact path.
+RESULTS = ROOT / f".bench_results_{os.getpid()}.jsonl"
+RESULTS_CANONICAL = ROOT / ".bench_results_last.jsonl"
 
 # ---- quality gates ------------------------------------------------------
 # Per-workload RMSE bands around the reference golden, sized from the
@@ -711,6 +715,12 @@ def parent_main() -> None:
             time.sleep(quiet_wait)
 
     rows = _read_results()
+    try:  # publish the canonical artifact; scratch is per-PID
+        if RESULTS.exists():
+            RESULTS_CANONICAL.write_text(RESULTS.read_text())
+            RESULTS.unlink()
+    except Exception:
+        pass
     device = rows.pop("_probe", {}).get("device")
     workloads = rows
 
