@@ -96,13 +96,19 @@ def rmse_gate(key: str, got: float, want: float) -> dict:
 # occasional multi-second congestion stalls; single samples are not
 # claims.  Every workload times BENCH_REPS (>=3) full runs and reports
 # best + median + spread so a multiplier can be read against the noise.
-REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
+REPS = max(1, int(os.environ.get("BENCH_REPS", "4")))
+# short gap between reps: congestion on the remote tunnel is bursty at
+# sub-minute scales, so decorrelating the samples slightly raises the
+# odds that the best rep touches a clean interval
+REP_GAP_S = float(os.environ.get("BENCH_REP_GAP", "3"))
 
 
 def timed_reps(run) -> dict:
     """Times REPS calls of run(); returns best/median seconds + spread."""
     times = []
-    for _ in range(REPS):
+    for i in range(REPS):
+        if i and REP_GAP_S > 0:
+            time.sleep(REP_GAP_S)
         t0 = time.time()
         run()
         times.append(time.time() - t0)
