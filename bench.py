@@ -94,7 +94,7 @@ def rmse_gate(key: str, got: float, want: float) -> dict:
 # ---- measurement discipline --------------------------------------------
 # The remote-tunnel device shows up to ~2x run-to-run variance with
 # occasional multi-second congestion stalls; single samples are not
-# claims.  Every workload times BENCH_REPS (>=3) full runs and reports
+# claims.  Every workload times BENCH_REPS (default 4, gapped) runs, reporting
 # best + median + spread so a multiplier can be read against the noise.
 REPS = max(1, int(os.environ.get("BENCH_REPS", "4")))
 # short gap between reps: congestion on the remote tunnel is bursty at
