@@ -50,8 +50,18 @@ def make(variant):
         out = jax.lax.dot_general(
             E, pay.astype(jnp.bfloat16), dnT, preferred_element_type=jnp.float32
         )
-        out_ref[:] = out_ref[:] + out[:, :k + 1]
-        acc_ref[0, 0] += out[0, 0]
+        if variant == "full":
+            out_ref[:] = out_ref[:] + out[:, :k + 1]
+            acc_ref[0, 0] += out[0, 0]
+            return
+        # "aux": add the real kernel's per-cell extras — score/loss maps,
+        # split u/i halves, update + exp() row decay on the table window
+        score = 3.0 + jnp.sum(rows[:B, :k] * rows[B:, :k], axis=1)
+        err = (score - 4.0) * 0.001
+        cnt = out[:, k + 1 : k + 2]
+        upd = out_ref[:] + out[:, :k + 1]
+        out_ref[:] = upd * jnp.exp(cnt * (-1e-5))
+        acc_ref[0, 0] += jnp.sum(err[:1])
 
     grid = (R, T)
     ui_spec = pl.BlockSpec(
@@ -79,7 +89,7 @@ rng = np.random.default_rng(0)
 ui = jnp.asarray(rng.integers(0, N - 1, (T, 1, 2 * B)).astype(np.int32))
 m = jnp.asarray(rng.standard_normal((N, k + 1)).astype(np.float32) * 0.01)
 
-for variant in ("onehot", "forward", "full"):
+for variant in ("onehot", "forward", "full", "aux"):
     f = make(variant)
     out = f(ui, m)
     _ = float(np.asarray(jax.device_get(out[:1, :1])).ravel()[0])
