@@ -17,7 +17,7 @@ vs_baseline compares against the reference C++ binary's measured
 throughput on this machine's CPU (golden/GOLDEN.json) — the only
 hardware the reference runs on.
 
-Measurement discipline: every workload runs BENCH_REPS (default 3)
+Measurement discipline: every workload runs BENCH_REPS (default 4)
 timed repetitions and reports best + median + spread (the tunnel shows
 up to ~2x variance); each result carries a bytes-moved traffic model,
 achieved GB/s, % of the v5e HBM peak, and the named binding resource;
@@ -678,8 +678,14 @@ def parent_main() -> None:
     quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT", "600"))
     bench_timeout = float(os.environ.get("BENCH_TIMEOUT", "2400"))
 
-    if RESULTS.exists():
-        RESULTS.unlink()
+    # sweep orphaned per-PID scratch from abnormal prior exits, and any
+    # stale scratch under our own name
+    for stale in ROOT.glob(".bench_results_*.jsonl"):
+        if stale != RESULTS_CANONICAL:
+            try:
+                stale.unlink()
+            except OSError:
+                pass
 
     probe_ok = False
     incomplete = False
@@ -725,8 +731,9 @@ def parent_main() -> None:
         if RESULTS.exists():
             RESULTS_CANONICAL.write_text(RESULTS.read_text())
             RESULTS.unlink()
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: could not publish {RESULTS_CANONICAL}: {e}",
+              file=sys.stderr)
     device = rows.pop("_probe", {}).get("device")
     workloads = rows
 

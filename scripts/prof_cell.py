@@ -31,12 +31,21 @@ dnT = (((0,), (0,)), ((), ()))
 
 def make(variant):
     def kernel(ui_ref, m_ref, out_ref, acc_ref):
+        r = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when((r == 0) & (t == 0))
+        def _():
+            acc_ref[0, 0] = 0.0  # SMEM scratch starts uninitialized
+
         ui = ui_ref[0, 0, :]
         iota = jax.lax.broadcasted_iota(jnp.int32, (2 * B, N), 1)
         E = (ui[:, None] == iota).astype(jnp.bfloat16)
         if variant == "onehot":
-            # consume E cheaply so it isn't DCE'd
-            acc_ref[0, 0] += jnp.sum(E[:, :1].astype(jnp.float32))
+            # consume the FULL selector so the compiler cannot narrow the
+            # [2B, N] build to one column (the reduction itself adds a
+            # few us — the baseline slightly OVERSTATES the build cost)
+            acc_ref[0, 0] += jnp.sum(E.astype(jnp.float32))
             return
         m = m_ref[:].astype(jnp.bfloat16)
         rows = jax.lax.dot_general(E, m, dn, preferred_element_type=jnp.float32)

@@ -63,6 +63,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _live_tiles(fb_val, F: int):
+    """Per-chunk live FB_TILE count: pools are filled from the front and
+    zero-valued entries contribute nothing to aggregates or writebacks,
+    so ceil(last-nonzero / FB_TILE) bounds the live region exactly."""
+    live = fb_val != 0  # [C, F]
+    cnt = jnp.where(
+        live.any(axis=1),
+        F - jnp.argmax(live[:, ::-1], axis=1),
+        0,
+    ).astype(jnp.int32)
+    return -(-cnt // FB_TILE)
+
+
+
 def pallas_svdpp_supported(hp, state, stacked, fb, off_user: int) -> bool:
     """The hot SVD++ configuration: separate feedback space (rows
     [0, off_user)), one feature per u/i segment, eager L2, no globals."""
@@ -526,16 +540,7 @@ def train_rounds_svdpp_pallas(
 
     cid = chunk_id.astype(jnp.int32)
     pcid = jnp.roll(cid, 1)  # chunk of the previous step; t=0 -> last chunk
-    # per-chunk live pool tiles: pools are filled from the front, so the
-    # last nonzero value bounds the live region (zero-valued entries
-    # contribute nothing to aggregates or writebacks either way)
-    live = fb["fb_val"] != 0  # [C, F]
-    cnt = jnp.where(
-        live.any(axis=1),
-        F - jnp.argmax(live[:, ::-1], axis=1),
-        0,
-    ).astype(jnp.int32)
-    ntc = -(-cnt // FB_TILE)
+    ntc = _live_tiles(fb["fb_val"], F)  # per-chunk live pool tiles
 
     # pad pool to Fp (padded entries: idx = N-1 outside the fb slab in
     # value terms -> one-hot misses; val 0; block = G)
@@ -754,14 +759,7 @@ def train_rounds_imfb_pallas(
 
     cid = chunk_id.astype(jnp.int32)
     pcid = jnp.roll(cid, 1)
-    # per-chunk live pool tiles (see train_rounds_svdpp_pallas)
-    live = fb["fb_val"] != 0  # [C, F]
-    cnt = jnp.where(
-        live.any(axis=1),
-        F - jnp.argmax(live[:, ::-1], axis=1),
-        0,
-    ).astype(jnp.int32)
-    ntc = -(-cnt // FB_TILE)
+    ntc = _live_tiles(fb["fb_val"], F)  # per-chunk live pool tiles
 
     padF = Fp - F
     fbi = jnp.pad(fb["fb_idx"].astype(jnp.int32), ((0, 0), (0, padF)),

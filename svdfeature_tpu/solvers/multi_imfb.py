@@ -108,6 +108,14 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         # chunks (StreamingPlusBuffer.plan_caps_imfb / chunks_imfb)
         from ..data.streaming import stream_train_round_imfb
 
+        if self.sort_blocks:
+            # match the plain SVD++ streamed path's loud refusal — the
+            # stream planner mirrors file order, so sorting would be
+            # silently ignored otherwise
+            raise ValueError(
+                "sort_blocks=1 is not supported with streaming=1 "
+                "(chunks are packed in file order)"
+            )
         bpc = ds.blocks_per_chunk
         if bpc % self.users_per_batch:
             new = max(self.users_per_batch, bpc - bpc % self.users_per_batch)
@@ -262,6 +270,15 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         if self._plain_svdpp(ds):
             return super()._pack_plus(ds, cache)
+        if self.sort_blocks and self.rows_per_user > 2:
+            import warnings
+
+            warnings.warn(
+                "sort_blocks=1 with rows_per_user>2 on STACKED data is "
+                "measured divergent (sorted heavy-unit chunks double the "
+                "context-coupling gain; PERF.md 'stacked scan frontier') — "
+                "keep file order or reduce rows_per_user"
+            )
         key = (id(ds), "imfb")
         if not cache or key not in self._pack_cache:
             m = self.model

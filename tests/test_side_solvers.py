@@ -477,8 +477,6 @@ def test_imfb_sorted_units_close_to_unsorted():
     """sort_blocks=1 on stacked multi-IMFB: size-desc unit packing keeps
     predictions close to file order (only the hogwild order changes;
     context snapshots ride with their units)."""
-    import sys
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
     from tests.test_streaming import make_imfb_trainer, make_stacked_ds
 
     ds = make_stacked_ds()
@@ -494,3 +492,27 @@ def test_imfb_sorted_units_close_to_unsorted():
     # config is the bench's stacked RMSE band)
     assert np.isfinite(pb).all()
     assert np.abs(pa - pb).max() < 0.1
+
+
+def test_imfb_sort_guards(tmp_path):
+    """sort_blocks=1 guards on the stacked path: loud refusal with
+    streaming (the planner mirrors file order), and a divergence warning
+    at rows_per_user>2 (PERF.md 'stacked scan frontier')."""
+    import warnings
+
+    from tests.test_streaming import make_imfb_trainer, make_stacked_ds
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    tr = make_imfb_trainer(dict(sort_blocks=1))
+    with pytest.raises(ValueError, match="sort_blocks"):
+        tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
+
+    tr2 = make_imfb_trainer(dict(sort_blocks=1, rows_per_user=4))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        tr2.update_all(ds)
+    assert any("divergent" in str(w.message) for w in rec)
