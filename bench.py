@@ -9,21 +9,32 @@ neighborhoodModel, binaryClassification (each 40 rounds + RMSE parity
 check), pairwiseRank, and bigTable (synthetic KDD-Cup-scale 2M-row
 table, k=64) exercising the large-table write paths.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (sized to the driver's stdout tail
+window; see build_summaries for the key legend):
   {"metric": "...", "value": N, "unit": "examples/s", "vs_baseline": N,
-   ..., "workloads": {...}}
+   "vs_baseline_median": N, ..., "workloads": {name: {eps, med, vs,
+   vsm, ok, sp, hot}, ...}}
+Full per-workload detail (reps, probe readings, rooflines, RMSE gates)
+is published to the ``.bench_full_last.json`` sidecar; raw per-workload
+lines stream to ``.bench_results_last.jsonl`` as they complete.
 
 vs_baseline compares against the reference C++ binary's measured
 throughput on this machine's CPU (golden/GOLDEN.json) — the only
-hardware the reference runs on.
+hardware the reference runs on.  vs_baseline_median is the same
+multiplier computed from the MEDIAN rep (the robust claim).
 
 Measurement discipline: every workload runs BENCH_REPS (default 4)
 timed repetitions and reports best + median + spread (the tunnel shows
-up to ~2x variance); each result carries a bytes-moved traffic model,
-achieved GB/s, % of the v5e HBM peak, and the named binding resource;
-RMSE gates are per-workload bands (RMSE_BANDS) around the reference
-golden, an order of magnitude tighter than the old flat 0.02, and
-pairwiseRank carries its own P@20 gate on the path being measured.
+up to ~2x variance); a fixed-size device round-trip probe runs before
+every rep so congested windows are visible in the artifact, and up to
+BENCH_EXTRA_REPS extra reps are taken until BENCH_REPS clean samples
+exist; staging (trainer build + packing) is outside the timed window,
+matching the reference's timing which excludes buffer creation; each
+result carries a bytes-moved traffic model, achieved GB/s, % of the
+v5e HBM peak, and the named binding resource; RMSE gates are
+per-workload bands (RMSE_BANDS) around the reference golden, an order
+of magnitude tighter than the old flat 0.02, and pairwiseRank carries
+its own P@20 gate on the path being measured.
 
 Robustness (the remote axon TPU is exclusive and FLAKY — a wedged
 remote end hangs backend init or dispatch for the whole process
@@ -94,31 +105,72 @@ def rmse_gate(key: str, got: float, want: float) -> dict:
 # ---- measurement discipline --------------------------------------------
 # The remote-tunnel device shows up to ~2x run-to-run variance with
 # occasional multi-second congestion stalls; single samples are not
-# claims.  Every workload times BENCH_REPS (default 4, gapped) runs, reporting
-# best + median + spread so a multiplier can be read against the noise.
+# claims.  Every workload times BENCH_REPS (default 4, gapped) runs,
+# reporting best + median + spread so a multiplier can be read against
+# the noise.  Each rep is PRECEDED by a fixed-size device round-trip
+# probe (upload 8 MiB + reduce + fetch) so tunnel congestion is visible
+# *in the artifact*: a rep whose probe reads > HOT_FACTOR x the
+# session-start probe baseline is tagged hot, and up to
+# BENCH_EXTRA_REPS extra reps are taken until REPS clean samples exist
+# (so the all-reps median is not a congestion statistic).  Staging
+# (trainer construction + host packing) runs OUTSIDE the timed window,
+# matching the reference's timing which excludes its buffer-creation
+# step (golden/provenance_run_golden.sh times svd_feature after
+# make_feature_buffer has run).
 REPS = max(1, int(os.environ.get("BENCH_REPS", "4")))
+EXTRA_REPS = max(0, int(os.environ.get("BENCH_EXTRA_REPS", "4")))
+HOT_FACTOR = float(os.environ.get("BENCH_HOT_FACTOR", "1.6"))
 # short gap between reps: congestion on the remote tunnel is bursty at
 # sub-minute scales, so decorrelating the samples slightly raises the
 # odds that the best rep touches a clean interval
 REP_GAP_S = float(os.environ.get("BENCH_REP_GAP", "3"))
 
+# set by child_main once jax is up: () -> float milliseconds for a
+# fixed-size device round-trip, and the session-start baseline (min of 3)
+_PROBE_FN = None
+_PROBE_BASE_MS = None
 
-def timed_reps(run) -> dict:
-    """Times REPS calls of run(); returns best/median seconds + spread."""
-    times = []
-    for i in range(REPS):
-        if i and REP_GAP_S > 0:
+
+def timed_reps(run, setup=None) -> dict:
+    """Times run() over >= REPS reps; setup() runs untimed before each.
+
+    Returns best/median seconds + spread + per-rep congestion-probe
+    readings (probe_ms, probe_base_ms, n_hot).  Takes up to EXTRA_REPS
+    extra reps while fewer than REPS reps have a clean (not-hot) probe.
+    """
+    times, probes = [], []
+    extra_left = EXTRA_REPS
+    while True:
+        if times and REP_GAP_S > 0:
             time.sleep(REP_GAP_S)
+        probes.append(round(_PROBE_FN(), 1) if _PROBE_FN else None)
+        if setup is not None:
+            setup()
         t0 = time.time()
         run()
         times.append(time.time() - t0)
+        if len(times) < REPS:
+            continue
+        if _PROBE_FN is None or _PROBE_BASE_MS is None:
+            break
+        n_clean = sum(1 for p in probes if p < HOT_FACTOR * _PROBE_BASE_MS)
+        if n_clean >= REPS or extra_left == 0:
+            break
+        extra_left -= 1
     ts = sorted(times)
-    return {
-        "reps": REPS,
+    out = {
+        "reps": len(times),
         "best_s": round(ts[0], 4),
         "median_s": round(ts[len(ts) // 2], 4),
-        "spread": round(ts[-1] / ts[0], 2),
+        "spread": round(ts[-1] / max(ts[0], 1e-9), 2),
     }
+    if _PROBE_FN is not None:
+        out["probe_ms"] = probes
+        out["probe_base_ms"] = _PROBE_BASE_MS
+        out["n_hot"] = sum(
+            1 for p in probes if p >= HOT_FACTOR * (_PROBE_BASE_MS or p)
+        )
+    return out
 
 
 # ---- roofline accounting -------------------------------------------------
@@ -174,7 +226,25 @@ def child_main(results_path: str) -> None:
     # ---- health probe (tiny matmul, value-fetch synced) ----------------
     x = jnp.ones((256, 256), jnp.bfloat16)
     _ = float(jnp.float32(jnp.sum(x @ x)))
-    put("_probe", {"device": str(jax.devices()[0])})
+
+    # ---- congestion probe: fixed-size device round-trip ----------------
+    # 8 MiB host->device + reduce + scalar fetch, dominated by tunnel
+    # transfer time; read once before every timed rep (timed_reps) so a
+    # congested window shows up in the artifact next to the rep it hit.
+    global _PROBE_FN, _PROBE_BASE_MS
+    probe_buf = np.ones(1 << 21, np.float32)  # 8 MiB
+    probe_sum = jax.jit(jnp.sum)
+
+    def _congestion_probe() -> float:
+        t0 = time.time()
+        _ = float(probe_sum(jax.device_put(probe_buf)))
+        return (time.time() - t0) * 1e3
+
+    _ = _congestion_probe()  # compile
+    _PROBE_FN = _congestion_probe
+    _PROBE_BASE_MS = round(min(_congestion_probe() for _ in range(3)), 1)
+    put("_probe", {"device": str(jax.devices()[0]),
+                   "probe_base_ms": _PROBE_BASE_MS})
 
     from svdfeature_tpu.data.text import load_feature_text, load_plus_text
     from svdfeature_tpu.params import SVDTypeParam
@@ -220,27 +290,32 @@ def child_main(results_path: str) -> None:
         _ = int(t.state.step)  # value fetch: see module docstring
         last = {}
 
-        def one():
-            t = make(SVDFeatureTrainer, mtype_kw, p)
-            t._pack(tds)  # staging excluded, like the reference's
-            # buffer-creation step is excluded from its timing
-            t0 = time.time()
-            t.update_rounds(tds, ROUNDS)
-            _ = int(t.state.step)
-            last["tr"] = t
+        def setup():
+            # staging (trainer build + host pack + initial table upload)
+            # runs untimed, like the reference's buffer-creation step
+            last["tr"] = t = make(SVDFeatureTrainer, mtype_kw, p)
+            t._pack(tds)
+            _ = int(t.state.step)  # drain the initial-state upload
 
-        stats = timed_reps(one)
+        def one():
+            last["tr"].update_rounds(tds, ROUNDS)
+            _ = int(last["tr"].state.step)
+
+        stats = timed_reps(one, setup)
         eps = ROUNDS * tds.num_row / stats["best_s"]
+        eps_med = ROUNDS * tds.num_row / stats["median_s"]
         got = rmse(last["tr"].predict_all(eds), eds.labels)
         # HBM model: VMEM-resident whole-run kernel; traffic = the packed
         # per-round data planes (u/i idx+val + label + weight, ~24 B/ex,
         # + 2 global idx/val pairs when present)
         ng = int(dict(p).get("num_global", "0") or 0)
         plane_b = tds.num_row * (24 + (16 if ng else 0))
+        base = golden[key]["examples_per_sec_cpu"]
         put(key, {
             "examples_per_sec": round(eps),
-            "examples_per_sec_median": round(ROUNDS * tds.num_row / stats["median_s"]),
-            "vs_baseline": round(eps / golden[key]["examples_per_sec_cpu"], 2),
+            "examples_per_sec_median": round(eps_med),
+            "vs_baseline": round(eps / base, 2),
+            "vs_baseline_median": round(eps_med / base, 2),
             **stats,
             **rmse_gate(key, got, golden[key]["final_rmse"]),
             **roofline(plane_b, ROUNDS, stats["best_s"],
@@ -296,32 +371,32 @@ def child_main(results_path: str) -> None:
         _ = int(tp.state.step)
         last = {}
 
-        def one():
-            tp = make(SVDPPFeatureTrainer, dict(format_type=1), pp)
-            tp._pack_plus(pds)  # staging excluded, like basicMF
-            t0 = time.time()
-            tp.update_rounds(pds, ROUNDS)
+        def setup():
+            last["tr"] = tp = make(SVDPPFeatureTrainer, dict(format_type=1), pp)
+            tp._pack_plus(pds)  # staging untimed, like basicMF
             _ = int(tp.state.step)
-            last["tr"] = tp
 
-        stats = timed_reps(one)
+        def one():
+            last["tr"].update_rounds(pds, ROUNDS)
+            _ = int(last["tr"].state.step)
+
+        stats = timed_reps(one, setup)
         got = rmse(last["tr"].predict_all(eds), eds.rows.labels)
         # compare like-for-like: round-40 RMSE vs the reference's round-40
         # (the reference trajectory overfits past its best ~0.9223 back to
         # 0.9371 by round 40; best-round parity is gated by the slow suite)
         want = float(golden["implicitFeedback"]["rmse_per_round"]["40"])
         eps = ROUNDS * pds.rows.num_row / stats["best_s"]
+        eps_med = ROUNDS * pds.rows.num_row / stats["median_s"]
         nfb = sum(len(b.fb_index) for b in pds.blocks())
         gate = rmse_gate("implicitFeedback", got, want)
         gate["golden_final_rmse"] = gate.pop("golden_rmse")
+        base = golden["implicitFeedback"]["examples_per_sec_cpu"]
         return {
             "examples_per_sec": round(eps),
-            "examples_per_sec_median": round(
-                ROUNDS * pds.rows.num_row / stats["median_s"]
-            ),
-            "vs_baseline": round(
-                eps / golden["implicitFeedback"]["examples_per_sec_cpu"], 2
-            ),
+            "examples_per_sec_median": round(eps_med),
+            "vs_baseline": round(eps / base, 2),
+            "vs_baseline_median": round(eps_med / base, 2),
             **stats,
             **gate,
             # planes (~24 B/ex) + feedback-pool entry planes (8 B/entry);
@@ -363,28 +438,44 @@ def child_main(results_path: str) -> None:
         ]
 
         def measure(data, extra, rounds=ROUNDS):
+            # warm with the SAME round count as the timed reps: lrs has
+            # shape [rounds], so a different count recompiles inside the
+            # first timed rep (the round-4 stacked spread of 17.29 was
+            # exactly this one recompile)
             tp = make(SVDPPMultiIMFBTrainer,
                       dict(format_type=1, extend_type=2), pp + extra)
-            tp.update_rounds(data, 2)  # compile
+            tp.update_rounds(data, rounds)
             _ = int(tp.state.step)
+            box = {}
 
-            def one():
-                tp = make(SVDPPMultiIMFBTrainer,
-                          dict(format_type=1, extend_type=2), pp + extra)
+            def setup():
+                box["tr"] = tp = make(SVDPPMultiIMFBTrainer,
+                                      dict(format_type=1, extend_type=2),
+                                      pp + extra)
                 tp._pack_plus(data)
-                t0 = time.time()
-                tp.update_rounds(data, rounds)
                 _ = int(tp.state.step)
 
-            stats = timed_reps(one)
-            return round(rounds * data.rows.num_row / stats["best_s"]), stats
+            def one():
+                box["tr"].update_rounds(data, rounds)
+                _ = int(box["tr"].state.step)
 
-        eps_default, stats_default = measure(
+            stats = timed_reps(one, setup)
+            stats["examples_per_sec"] = round(
+                rounds * data.rows.num_row / stats["best_s"])
+            stats["examples_per_sec_median"] = round(
+                rounds * data.rows.num_row / stats["median_s"])
+            return stats
+
+        stats_default = measure(
             pds, [("sort_blocks", "1"), ("rows_per_user", "8")]
         )
-        res = {"examples_per_sec": eps_default,
-               "reps": stats_default["reps"],
-               "spread": stats_default["spread"]}
+        nfb = sum(len(b.fb_index) for b in pds.blocks())
+        res = dict(stats_default)
+        # same traffic model as implicitFeedback: the all-DEFAULT data
+        # degenerates to plain SVD++ and rides the same whole-run kernel
+        res.update(roofline(
+            pds.rows.num_row * 24 + nfb * 8, ROUNDS, stats_default["best_s"],
+            "sequential chunk scan, tables+pool VMEM-resident"))
         if svdpp_res:
             res["vs_svdpp"] = round(
                 res["examples_per_sec"] / svdpp_res["examples_per_sec"], 3
@@ -425,9 +516,26 @@ def child_main(results_path: str) -> None:
         # whole-run kernel takes G*M-slot batches; within-unit-excess
         # damping, tests/test_side_multirow.py + interpret-mode kernel
         # parity); 2.9M -> 6.0M ex/s measured
-        eps_st, stats_st = measure(sds, [("rows_per_user", "8")])
+        stats_st = measure(sds, [("rows_per_user", "8")])
+        eps_st = stats_st["examples_per_sec"]
         res["stacked_examples_per_sec"] = eps_st
+        res["stacked_examples_per_sec_median"] = stats_st[
+            "examples_per_sec_median"]
         res["stacked_spread"] = stats_st["spread"]
+        res["stacked_reps"] = stats_st["reps"]
+        res["stacked_best_s"] = stats_st["best_s"]
+        res["stacked_median_s"] = stats_st["median_s"]
+        if "probe_ms" in stats_st:
+            res["stacked_probe_ms"] = stats_st["probe_ms"]
+            res["stacked_n_hot"] = stats_st["n_hot"]
+        # stacked traffic: split blocks carry the user fb list on START
+        # and END too, so pool-entry planes roughly double
+        nfb_st = sum(len(b.fb_index) for b in sds.blocks())
+        st_roof = roofline(
+            sds.rows.num_row * 24 + nfb_st * 8, ROUNDS, stats_st["best_s"],
+            "sequential chunk scan (depth-2 carried), tables+pool "
+            "VMEM-resident")
+        res.update({f"stacked_{k}": v for k, v in st_roof.items()})
         # quality gate at the stacked golden's horizon (8 rounds,
         # golden/multi_imfb_stacked.rmse.tsv regenerated from the
         # reference binary on this same transform): fresh M=8 trainer,
@@ -459,6 +567,8 @@ def child_main(results_path: str) -> None:
         if st_base:
             res["stacked_examples_per_sec_cpu_reference"] = st_base
             res["stacked_vs_baseline"] = round(eps_st / st_base, 2)
+            res["stacked_vs_baseline_median"] = round(
+                res["stacked_examples_per_sec_median"] / st_base, 2)
         return res
 
     try:
@@ -506,11 +616,27 @@ def child_main(results_path: str) -> None:
         run(1)  # compile (K=1 block)
         run(ROUNDS)  # compile (K=8 blocks)
         n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
-        stats = timed_reps(lambda: run(ROUNDS))
+
+        def setup():
+            # trainer build + initial table upload untimed; per-round pair
+            # sampling stays INSIDE the timed window (the reference's
+            # 40-round wall includes its per-round pair regeneration,
+            # apex_svd_data.cpp:812-1025)
+            last["src"] = PairSource(train, IteratorConfig(), seed=10)
+            last["tr"] = make(SVDPPFeatureTrainer,
+                              dict(format_type=1, active_type=3), pp)
+            _ = int(last["tr"].state.step)
+
+        def one():
+            last["tr"].update_rounds(last["src"], ROUNDS)
+            _ = int(last["tr"].state.step)
+
+        stats = timed_reps(one, setup)
         eps = ROUNDS * n_pairs / stats["best_s"]
+        eps_med = ROUNDS * n_pairs / stats["median_s"]
         res = {
             "examples_per_sec": round(eps),
-            "examples_per_sec_median": round(ROUNDS * n_pairs / stats["median_s"]),
+            "examples_per_sec_median": round(eps_med),
             "pairs_per_round": n_pairs,
             **stats,
             # offsets upload + in-dispatch assembly intermediates
@@ -544,6 +670,8 @@ def child_main(results_path: str) -> None:
             base = 40 * n_pairs / ref_s
             res["examples_per_sec_cpu_reference"] = round(base)
             res["vs_baseline"] = round(res["examples_per_sec"] / base, 2)
+            res["vs_baseline_median"] = round(
+                res["examples_per_sec_median"] / base, 2)
         return res
 
     try:
@@ -598,7 +726,10 @@ def child_main(results_path: str) -> None:
         probe = bds.slice_rows(0, 4096)
         tb = make(SVDFeatureTrainer, {}, bp)
         rmse0 = rmse(tb.predict_all(probe), probe.labels)
-        tb.update_rounds(bds, 1)  # compile + warm
+        # warm with the SAME round count as the timed reps (lrs shape is
+        # [BR]; warming at 1 round left a recompile in the first timed
+        # rep — the round-4 spread of 4.46)
+        tb.update_rounds(bds, BR)
         _ = int(tb.state.step)
 
         def one():
@@ -632,12 +763,127 @@ def child_main(results_path: str) -> None:
         if base and not os.environ.get("BENCH_SMALL"):
             res["examples_per_sec_cpu_reference"] = base
             res["vs_baseline"] = round(big_eps / base, 2)
+            res["vs_baseline_median"] = round(
+                res["examples_per_sec_median"] / base, 2)
         return res
 
     try:
         put("bigTable", bench_big())
     except Exception as e:  # pragma: no cover
         print(f"WARNING: bigTable bench failed: {e}", file=sys.stderr)
+
+    # ---- bigSvdpp (KDD-Cup-scale SVD++: 500k-row unified table) ------------
+    # The ML-100K implicitFeedback numbers are scan-latency-bound (tiny
+    # tables, whole run in VMEM); real SVDFeature SVD++ runs at KDD-Cup
+    # 2011 scale (~1M users x 600k items,
+    # /root/reference/solvers/base-solver/apex_svd_base.h:523-554).  This
+    # measures ops/svdpp_big.py on a synthetic at that shape: 100k users
+    # x 200k items x 200k feedback ids (rng(0), ~20 rows + ~6 fb/user,
+    # planted rank-8 structure so learning is observable), k=64.
+    def make_big_plus():
+        from svdfeature_tpu.data.csr import CSRDataset, PlusDataset
+
+        NU, NI, NF, KF = 100_000, 200_000, 200_000, 64
+        USERS, ROWS_MEAN = NU, 20
+        if os.environ.get("BENCH_SMALL"):
+            NU, NI, NF, KF = 2000, 3000, 3000, 16
+            USERS, ROWS_MEAN = NU, 6
+        rng = np.random.default_rng(0)
+        counts = rng.poisson(ROWS_MEAN, USERS).clip(1, 64).astype(np.int64)
+        fbcounts = rng.integers(1, 12, USERS).astype(np.int64)
+        EX = int(counts.sum())
+        uid = np.repeat(np.arange(USERS, dtype=np.uint32), counts)
+        items = rng.integers(0, NI, EX).astype(np.uint32)
+        pu = rng.standard_normal((USERS, 8), dtype=np.float32) * 0.25
+        qi = rng.standard_normal((NI, 8), dtype=np.float32) * 0.25
+        labels = 3.0 + np.einsum("ek,ek->e", pu[uid], qi[items])
+        del pu, qi
+        row_ptr = np.zeros(3 * EX + 1, np.int32)
+        row_ptr[1:] = np.cumsum(np.tile(np.array([0, 1, 1], np.int32), EX))
+        index = np.empty(2 * EX, np.uint32)
+        index[0::2] = uid
+        index[1::2] = items
+        rows = CSRDataset(labels.astype(np.float32), row_ptr, index,
+                          np.ones(2 * EX, np.float32))
+        Ftot = int(fbcounts.sum())
+        brp = np.zeros(USERS + 1, np.int32)
+        brp[1:] = np.cumsum(counts)
+        bfp = np.zeros(USERS + 1, np.int32)
+        bfp[1:] = np.cumsum(fbcounts)
+        pds = PlusDataset(
+            rows, rng.integers(0, NF, Ftot).astype(np.uint32),
+            np.ones(Ftot, np.float32), brp, bfp,
+            np.zeros(USERS, np.int8), np.zeros(USERS, np.int8))
+        return pds, dict(NU=NU, NI=NI, NF=NF, KF=KF, EX=EX)
+
+    def slice_plus_blocks(pds, nblk):
+        from svdfeature_tpu.data.csr import PlusDataset
+
+        r1 = int(pds.block_row_ptr[nblk])
+        f1 = int(pds.block_fb_ptr[nblk])
+        return PlusDataset(
+            pds.rows.slice_rows(0, r1), pds.fb_index[:f1], pds.fb_value[:f1],
+            pds.block_row_ptr[: nblk + 1], pds.block_fb_ptr[: nblk + 1],
+            pds.extend_tag[:nblk],
+            pds.extra_info[:nblk] if pds.extra_info is not None else None)
+
+    def bench_svdpp_big():
+        pds, dims = make_big_plus()
+        pp = [
+            ("base_score", "3"), ("learning_rate", "0.005"),
+            ("wd_item", "0.004"), ("wd_user", "0.004"),
+            ("wd_ufeedback", "0.004"),
+            ("num_user", str(dims["NU"])), ("num_item", str(dims["NI"])),
+            ("num_ufeedback", str(dims["NF"])), ("num_global", "0"),
+            ("num_factor", str(dims["KF"])),
+            ("sort_blocks", "1"), ("rows_per_user", "8"),
+            ("users_per_batch", "512"),
+        ]
+        BR = 3
+        probe_ds = slice_plus_blocks(pds, min(2000, pds.num_block))
+        tp = make(SVDPPFeatureTrainer, dict(format_type=1), pp)
+        if not os.environ.get("BENCH_SMALL"):
+            assert tp.hp.big_table, tp.hp
+        rmse0 = rmse(tp.predict_all(probe_ds), probe_ds.rows.labels)
+        tp._pack_plus(pds)
+        tp.update_rounds(pds, BR)  # compile at the timed round count
+        _ = int(tp.state.step)
+
+        def one():
+            tp.update_rounds(pds, BR)
+            _ = int(tp.state.step)
+
+        stats = timed_reps(one)
+        eps = round(BR * dims["EX"] / stats["best_s"])
+        eps_med = round(BR * dims["EX"] / stats["median_s"])
+        rmse1 = rmse(tp.predict_all(probe_ds), probe_ds.rows.labels)
+        # HBM model: augmented unified table (~500k rows x 512 B) cannot
+        # be VMEM-resident — per example the step moves the touched user
+        # + item rows plus the per-user feedback-pool rows (~6/user
+        # amortized over ~20 rows -> ~0.3 extra row-moves/ex); same
+        # 3-moves/row accounting as bigTable plus the feedback gathers.
+        res = {
+            "examples_per_sec": eps,
+            "examples_per_sec_median": eps_med,
+            "table_rows": dims["NU"] + dims["NI"] + dims["NF"],
+            "rmse_start": round(rmse0, 5),
+            "rmse_after": round(rmse1, 5),
+            "learning_ok": rmse1 < rmse0,
+            **stats,
+            **roofline(dims["EX"] * 3.3 * 512, BR, stats["best_s"],
+                       "row-granular gather/write ops on the unified table"),
+        }
+        base = golden.get("bigSvdpp", {}).get("examples_per_sec_cpu")
+        if base and not os.environ.get("BENCH_SMALL"):
+            res["examples_per_sec_cpu_reference"] = base
+            res["vs_baseline"] = round(eps / base, 2)
+            res["vs_baseline_median"] = round(eps_med / base, 2)
+        return res
+
+    try:
+        put("bigSvdpp", bench_svdpp_big())
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: bigSvdpp bench failed: {e}", file=sys.stderr)
 
     out.close()
 
@@ -734,38 +980,88 @@ def parent_main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"WARNING: could not publish {RESULTS_CANONICAL}: {e}",
               file=sys.stderr)
-    device = rows.pop("_probe", {}).get("device")
-    workloads = rows
+    probe_info = rows.pop("_probe", {})
+    full, out = build_summaries(rows, probe_ok, probe_info, incomplete)
+    try:
+        (ROOT / ".bench_full_last.json").write_text(json.dumps(full, indent=1))
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: could not write .bench_full_last.json: {e}",
+              file=sys.stderr)
+    print(json.dumps(out))
 
+
+def build_summaries(workloads, probe_ok, probe_info, incomplete):
+    """Builds (full, compact) summary dicts from the per-workload results.
+
+    The full dict (every field of every workload) is published to the
+    ``.bench_full_last.json`` sidecar; the compact dict is the ONE
+    printed JSON line and must fit the driver's stdout tail window
+    (round 4's full-detail line overflowed it -> BENCH_r04
+    "parsed: null"; tests/test_bench_summary.py pins the size).
+    Compact per-workload keys:
+      eps  best-rep examples/s         med  median-rep examples/s
+      vs   best / reference-CPU        vsm  median / reference-CPU
+      ok   the workload's quality gate (rmse/p20/learning)
+      sp   spread (worst/best rep)     hot  reps with congested probe
+      st_* the stacked multiIMFB measurement
+    """
     golden = json.load(open(ROOT / "golden" / "GOLDEN.json"))
     base_eps = golden["basicMF"]["examples_per_sec_cpu"]
     basic = workloads.get("basicMF")
-    big = workloads.get("bigTable", {})
-    out = {
+    device = probe_info.get("device")
+
+    full = {
         "metric": "examples_per_sec_basicMF_40rounds",
         "value": basic["examples_per_sec"] if basic else 0,
         "unit": "examples/s",
-        "vs_baseline": round(basic["examples_per_sec"] / base_eps, 2) if basic else 0,
+        "vs_baseline": round(basic["examples_per_sec"] / base_eps, 2)
+        if basic else 0,
         "tpu_unavailable": not probe_ok,
         "device": device,
+        "probe_base_ms": probe_info.get("probe_base_ms"),
         "workloads": workloads,
     }
-    if basic:
-        out.update(
-            final_rmse=basic["final_rmse"],
-            golden_rmse=basic["golden_rmse"],
-            rmse_ok=basic["rmse_ok"],
-        )
-    if "implicitFeedback" in workloads:
-        out["svdpp_examples_per_sec"] = workloads["implicitFeedback"][
-            "examples_per_sec"]
-    if big:
-        out["bigtable_examples_per_sec"] = big.get("examples_per_sec")
-        if "vs_baseline" in big:
-            out["bigtable_vs_baseline"] = big["vs_baseline"]
+    if incomplete:
+        full["bench_incomplete"] = True
+
+    comp = {}
+    for key, d in workloads.items():
+        ok = d.get("rmse_ok", d.get("p20_ok", d.get("learning_ok")))
+        if key == "multiIMFB":
+            ok = d.get("stacked_rmse_ok")
+        c = {"eps": d.get("examples_per_sec"),
+             "med": d.get("examples_per_sec_median")}
+        if "vs_baseline" in d:
+            c["vs"] = d["vs_baseline"]
+        if "vs_baseline_median" in d:
+            c["vsm"] = d["vs_baseline_median"]
+        if ok is not None:
+            c["ok"] = ok
+        c["sp"] = d.get("spread")
+        if "n_hot" in d:
+            c["hot"] = d["n_hot"]
+        if key == "multiIMFB":  # stacked is the headline measurement
+            c["st_eps"] = d.get("stacked_examples_per_sec")
+            c["st_med"] = d.get("stacked_examples_per_sec_median")
+            c["st_vs"] = d.get("stacked_vs_baseline")
+            c["st_vsm"] = d.get("stacked_vs_baseline_median")
+        comp[key] = c
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+        "vs_baseline_median": (basic or {}).get("vs_baseline_median", 0),
+        "rmse_ok": (basic or {}).get("rmse_ok"),
+        "tpu_unavailable": not probe_ok,
+        "device": device,
+        "probe_base_ms": probe_info.get("probe_base_ms"),
+        "detail": ".bench_full_last.json",
+        "workloads": comp,
+    }
     if incomplete:
         out["bench_incomplete"] = True
-    print(json.dumps(out))
+    return full, out
 
 
 if __name__ == "__main__":
