@@ -116,8 +116,10 @@ def pack_imfb(
     bound.  Context SEMANTICS are order-free (each unit keeps its walk
     snapshot; a context spanning reordered units simply appears in every
     chunk that hosts one of them), only the hogwild processing order
-    changes — same contract as pack_plus's sort_blocks.  Suppressed
-    under caps: the stream planner mirrors file order."""
+    changes — same contract as pack_plus's sort_blocks.  Under caps the
+    sort is chunk-local by construction (each streamed fragment packs
+    independently) and the stream planner mirrors it
+    (StreamingPlusBuffer.plan_caps_imfb sort_local)."""
     # --- walk the tag-driven stack
     contexts = []  # (fb_index, fb_value, depth)
     snapshots: List[List[int]] = []  # per block: active context ids
@@ -143,7 +145,7 @@ def pack_imfb(
         if ds.block_row_ptr[bi + 1] > ds.block_row_ptr[bi]
     ]
     use_caps = bool(t_cap or f_cap or c_cap or d_cap or m_cap)
-    if sort_blocks and not use_caps:
+    if sort_blocks:
         usizes = np.array(
             [int(ds.block_row_ptr[bi + 1] - ds.block_row_ptr[bi])
              for bi, _ in units],

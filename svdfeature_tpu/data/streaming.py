@@ -207,21 +207,36 @@ class StreamingPlusBuffer:
         self.num_block = len(self.logical_sizes)
         self.num_row = int(sum(self.logical_sizes))
 
-    def plan_caps(self, G: int, M: int = 1) -> dict:
+    def plan_caps(self, G: int, M: int = 1, sort_local: bool = False) -> dict:
         """Stable pack_plus caps for chunks of ``blocks_per_chunk``
         logical blocks grouped G users per batch, M rows per user.
         Pure function of the pre-scan; cached per (G, M,
-        blocks_per_chunk) — it is re-requested every round, and the
-        solver may round blocks_per_chunk between calls."""
+        blocks_per_chunk, sort_local) — it is re-requested every round,
+        and the solver may round blocks_per_chunk between calls.
+
+        sort_local=True mirrors sort_blocks under streaming: each
+        streamed chunk is packed with pack_plus(sort_blocks=True), which
+        sorts size-desc WITHIN the chunk (chunk-local — the stream never
+        holds the whole dataset, matching the reference's bounded-memory
+        iterator contract, apex-utils/apex_buffer_loader.h:39-233); the
+        plan groups each chunk's sizes in that same stable size-desc
+        order so the caps — and the compiled scan length t_cap, where
+        the 2-3x sorted-packing win lives — are exact for the sorted
+        layout."""
         K = self.blocks_per_chunk
-        if (G, M, K) in self._caps_cache:
-            return self._caps_cache[(G, M, K)]
+        key = (G, M, K, bool(sort_local))
+        if key in self._caps_cache:
+            return self._caps_cache[key]
         sizes = np.asarray(self.logical_sizes, np.int64)
         fbs = np.asarray(self.logical_fb, np.int64)
         t_cap = f_cap = c_cap = 1
         for lo in range(0, self.num_block, K):
             s = sizes[lo : lo + K]
             fb = fbs[lo : lo + K]
+            if sort_local:
+                order = np.argsort(-s, kind="stable")
+                s = s[order]
+                fb = fb[order]
             t_c = f_c = 0
             n_groups = 0
             for g0 in range(0, len(s), G):
@@ -235,7 +250,7 @@ class StreamingPlusBuffer:
             t_cap=t_cap, f_cap=f_cap, c_cap=c_cap,
             seg_caps=tuple(self.max_nnz),
         )
-        self._caps_cache[(G, M, K)] = caps
+        self._caps_cache[key] = caps
         return caps
 
     # ---- stacked multi-IMFB streams (tags = context push/pop protocol,
@@ -269,22 +284,35 @@ class StreamingPlusBuffer:
             raise ValueError("unterminated feedback context in buffer")
         return snapshots, ctx_nfb, ctx_depth, units
 
-    def plan_caps_imfb(self, G: int, M: int = 1) -> dict:
+    def plan_caps_imfb(
+        self, G: int, M: int = 1, sort_local: bool = False
+    ) -> dict:
         """Stable pack_imfb caps for streamed chunks of blocks_per_chunk
         UNITS (blocks with rows), grouped G units per pack-chunk, M rows
         per unit.  Mirrors exactly the packing every chunk will perform
         (local-context first-appearance order, pool sizes, the
         ceil-by-M scan length), so one compiled program covers the
         whole stream.  Keyed by blocks_per_chunk too — the solver may
-        round it between calls."""
+        round it between calls.
+
+        sort_local=True mirrors pack_imfb(sort_blocks=True) under
+        streaming: units are stably size-desc sorted WITHIN each chunk
+        before grouping (context semantics are order-free — each unit
+        keeps its walk snapshot), so the caps match the sorted layout."""
         K = self.blocks_per_chunk
-        key = ("imfb", G, M, K)
+        key = ("imfb", G, M, K, bool(sort_local))
         if key in self._caps_cache:
             return self._caps_cache[key]
         snapshots, ctx_nfb, _, units = self._imfb_units()
         t_cap = f_cap = c_cap = d_cap = m_cap = 1
         for lo in range(0, len(units), K):
             chunk_units = units[lo : lo + K]
+            if sort_local:
+                usizes = np.array(
+                    [self.phys[bi][0] for bi in chunk_units], np.int64
+                )
+                order = np.argsort(-usizes, kind="stable")
+                chunk_units = [chunk_units[int(i)] for i in order]
             n_groups = 0
             t_c = 0
             for g0 in range(0, len(chunk_units), G):
@@ -396,7 +424,8 @@ def stream_train_round_imfb(trainer, source: StreamingPlusBuffer, prefetch: int 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
     caps = source.plan_caps_imfb(
-        trainer.users_per_batch, trainer.rows_per_user
+        trainer.users_per_batch, trainer.rows_per_user,
+        sort_local=bool(getattr(trainer, "sort_blocks", 0)),
     )
 
     def produce():
@@ -435,7 +464,10 @@ def stream_train_round_plus(trainer, source: StreamingPlusBuffer, prefetch: int 
     pinned by tests/test_streaming.py)."""
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
-    caps = source.plan_caps(trainer.users_per_batch, trainer.rows_per_user)
+    caps = source.plan_caps(
+        trainer.users_per_batch, trainer.rows_per_user,
+        sort_local=bool(getattr(trainer, "sort_blocks", 0)),
+    )
 
     def produce():
         try:

@@ -278,6 +278,7 @@ class SVDBiLinearTrainer(SVDPPFeatureTrainer):
             num_item=m.param.num_item,
             num_ufeedback=m.param.num_ufeedback,
             rows_per_user=self.rows_per_user,
+            sort_blocks=bool(self.sort_blocks),  # chunk-local ordering
             **caps,
         )
         fb, up, overlap = self._bi_extras(packed)

@@ -108,14 +108,19 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
         # chunks (StreamingPlusBuffer.plan_caps_imfb / chunks_imfb)
         from ..data.streaming import stream_train_round_imfb
 
-        if self.sort_blocks:
-            # match the plain SVD++ streamed path's loud refusal — the
-            # stream planner mirrors file order, so sorting would be
-            # silently ignored otherwise
-            raise ValueError(
-                "sort_blocks=1 is not supported with streaming=1 "
-                "(chunks are packed in file order)"
+        if self.sort_blocks and self.rows_per_user > 2:
+            import warnings
+
+            # same measured frontier as the staged path (_pack_plus)
+            warnings.warn(
+                "sort_blocks=1 with rows_per_user>2 on STACKED data is "
+                "measured divergent (PERF.md 'stacked scan frontier') — "
+                "keep file order or reduce rows_per_user"
             )
+        # sort_blocks streams chunk-locally, like the plain SVD++ path:
+        # pack_imfb sorts units within each fragment (context snapshots
+        # ride along, so the tag-walk semantics are order-free) and
+        # plan_caps_imfb(sort_local) sizes the caps for that ordering
         bpc = ds.blocks_per_chunk
         if bpc % self.users_per_batch:
             new = max(self.users_per_batch, bpc - bpc % self.users_per_batch)
@@ -165,6 +170,7 @@ class SVDPPMultiIMFBTrainer(SVDPPFeatureTrainer):
             num_ufeedback=m.param.num_ufeedback,
             initial_stack=carry,
             rows_per_user=self.rows_per_user,
+            sort_blocks=bool(self.sort_blocks),  # chunk-local ordering
             **caps,
         )
         enabled = self._imfb_enabled(packed.ctx_depth)

@@ -552,6 +552,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             num_item=m.param.num_item,
             num_ufeedback=m.param.num_ufeedback,
             rows_per_user=self.rows_per_user,
+            sort_blocks=bool(self.sort_blocks),  # chunk-local ordering
             **caps,
         )
         arrays = packed.device_arrays()
@@ -998,14 +999,16 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     def _stream_round_plus(self, ds) -> None:
         from ..data.streaming import stream_train_round_plus
 
-        if self.sort_blocks:
-            # sort_blocks reorders the whole dataset; a streamed chunk
-            # can only sort within itself, which both changes the
-            # trajectory and violates the file-order cap plan
-            raise ValueError(
-                "sort_blocks=1 is a whole-dataset option and is not "
-                "supported with streaming=1"
-            )
+        # sort_blocks under streaming is CHUNK-LOCAL: each streamed
+        # chunk packs with the size-desc ordering applied within itself
+        # (pack_plus sorts whatever dataset it is handed — here one
+        # chunk), and the cap plan mirrors that ordering
+        # (plan_caps sort_local), so the sorted-packing scan-length win
+        # survives out-of-core training in the reference's
+        # bounded-memory iterator contract
+        # (apex-utils/apex_buffer_loader.h:39-233).  Trajectory == a
+        # staged run on the equivalently chunk-locally-sorted dataset
+        # (tests/test_streaming.py).
         # trajectory == staged run only when chunks split into whole
         # user-batches (stream_train_round_plus docstring); round down
         # rather than silently diverge

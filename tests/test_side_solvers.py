@@ -495,9 +495,10 @@ def test_imfb_sorted_units_close_to_unsorted():
 
 
 def test_imfb_sort_guards(tmp_path):
-    """sort_blocks=1 guards on the stacked path: loud refusal with
-    streaming (the planner mirrors file order), and a divergence warning
-    at rows_per_user>2 (PERF.md 'stacked scan frontier')."""
+    """sort_blocks=1 on the stacked path warns about the measured
+    rows_per_user>2 divergence (PERF.md 'stacked scan frontier') on BOTH
+    the staged and the streamed route (streaming itself now composes
+    with sort_blocks chunk-locally — tests/test_streaming.py)."""
     import warnings
 
     from tests.test_streaming import make_imfb_trainer, make_stacked_ds
@@ -507,12 +508,15 @@ def test_imfb_sort_guards(tmp_path):
     ds = make_stacked_ds()
     path = str(tmp_path / "p.buffer")
     write_plus_buffer(path, ds)
-    tr = make_imfb_trainer(dict(sort_blocks=1))
-    with pytest.raises(ValueError, match="sort_blocks"):
-        tr.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
 
     tr2 = make_imfb_trainer(dict(sort_blocks=1, rows_per_user=4))
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         tr2.update_all(ds)
+    assert any("divergent" in str(w.message) for w in rec)
+
+    tr3 = make_imfb_trainer(dict(sort_blocks=1, rows_per_user=4))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        tr3.update_all(StreamingPlusBuffer(path, blocks_per_chunk=4))
     assert any("divergent" in str(w.message) for w in rec)

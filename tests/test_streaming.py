@@ -255,21 +255,138 @@ def test_streaming_ignored_for_composite_plus_types(tmp_path):
     assert isinstance(src, PlusDataset)
 
 
-def test_plus_streaming_guards():
-    """sort_blocks and hierarchical side features are rejected with clear
-    errors under streaming (caps are file-order, raw-width plans)."""
-    import pytest as _pytest
+def _reorder_chunklocal(pds, span):
+    """The staged equivalent of chunk-local sorting: stable size-desc
+    reorder of logical blocks WITHIN each span-block window."""
+    from svdfeature_tpu.data.batching_plus import merge_split_blocks
+    from svdfeature_tpu.data.csr import PlusDataset
 
-    class FakeStream:
-        def plan_caps(self, G, M):
-            return {}
+    blocks = merge_split_blocks(pds)
+    out = []
+    for lo in range(0, len(blocks), span):
+        window = blocks[lo : lo + span]
+        sizes = np.array([b.data.num_row for b in window])
+        out.extend(window[int(i)] for i in np.argsort(-sizes, kind="stable"))
+    return PlusDataset.from_blocks(out)
 
-        def chunks(self):
-            return iter(())
 
-    tr = make_plus_trainer(extra={"sort_blocks": 1})
-    with _pytest.raises(ValueError, match="sort_blocks"):
-        tr.update_all(FakeStream())
+def test_sorted_streamed_plus_matches_staged_chunklocal(tmp_path):
+    """sort_blocks=1 under streaming=1 sorts WITHIN each streamed chunk
+    (the stream never holds the whole dataset); the trajectory equals a
+    staged run on the equivalently chunk-locally-reordered dataset, and
+    the cap plan mirrors the sorted layout (plan_caps sort_local)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    ds = make_plus_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+
+    staged = make_plus_trainer()  # unsorted, on the pre-reordered data
+    ref_ds = _reorder_chunklocal(ds, 4)
+    streamed = make_plus_trainer(extra={"sort_blocks": 1})
+    for _ in range(3):
+        staged.update_all(ref_ds)
+        streamed.update_all(src)
+
+    np.testing.assert_allclose(
+        np.asarray(staged.state.w), np.asarray(streamed.state.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged.state.b), np.asarray(streamed.state.b), atol=1e-6
+    )
+    assert int(staged.state.step) == int(streamed.state.step)
+
+
+def test_sorted_plan_caps_mirror_and_shrink(tmp_path):
+    """plan_caps(sort_local=True) must (a) never under-provision the
+    sorted chunk packs and (b) realize the sorted-packing scan-length
+    win on skewed block sizes — the throughput reason sort_blocks
+    exists (PERF.md: 2-3x padding cut on SVD++)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.csr import PlusBlock, PlusDataset
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+    from svdfeature_tpu.data.text import load_feature_text
+
+    rng = np.random.RandomState(5)
+    blocks = []
+    # alternating tiny/huge blocks: file-order G=2 groups always pair a
+    # huge with a tiny (max padding); sorted chunks pair like with like
+    for u, n in enumerate([1, 16] * 8):
+        lines = "\n".join(
+            f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 12)}:1"
+            for _ in range(n)
+        )
+        data = load_feature_text("x", text=lines)
+        blocks.append(PlusBlock(
+            np.array([u % 15], np.uint32), np.ones(1, np.float32), data))
+    ds = PlusDataset.from_blocks(blocks)
+    path = str(tmp_path / "skew.buffer")
+    write_plus_buffer(path, ds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=8)
+    plain = src.plan_caps(G=2, M=1)
+    srt = src.plan_caps(G=2, M=1, sort_local=True)
+    # file order: 4 groups x max 16 = 64; sorted: 16+16+1+1 = 34
+    assert srt["t_cap"] < plain["t_cap"]
+    # and the sorted caps really fit the sorted packs: a full round
+    # packs every chunk without a cap violation
+    tr = make_plus_trainer(users=16, extra={"sort_blocks": 1})
+    tr.update_all(src)
+    assert int(tr.state.step) > 0
+
+
+def test_stacked_sorted_streamed_matches_staged(tmp_path):
+    """STACKED multi-IMFB x streaming x sort_blocks: with a single
+    streamed chunk the chunk-local sort IS the whole-dataset sort, so
+    the streamed trajectory must equal the staged sorted run exactly
+    (context snapshots ride with the reordered units)."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=64)
+
+    staged = make_imfb_trainer(extra={"sort_blocks": 1})
+    streamed = make_imfb_trainer(extra={"sort_blocks": 1})
+    for _ in range(3):
+        staged.update_all(pds)
+        streamed.update_all(src)
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.w), np.asarray(staged.state.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed.state.b), np.asarray(staged.state.b), atol=1e-6
+    )
+
+
+def test_stacked_sorted_streamed_multichunk(tmp_path):
+    """Multi-chunk stacked stream with sort_blocks: chunk-local unit
+    sort composes with open-context carry — the run stays in caps, the
+    step count matches the unsorted stream's scan geometry only via the
+    plan (sorted t_cap <= plain), and the model learns."""
+    from svdfeature_tpu.data.buffer import write_plus_buffer
+    from svdfeature_tpu.data.streaming import StreamingPlusBuffer
+
+    pds = make_stacked_ds()
+    path = str(tmp_path / "p.buffer")
+    write_plus_buffer(path, pds)
+    src = StreamingPlusBuffer(path, blocks_per_chunk=4)
+    assert (
+        src.plan_caps_imfb(2, 1, sort_local=True)["t_cap"]
+        <= src.plan_caps_imfb(2, 1)["t_cap"]
+    )
+
+    tr = make_imfb_trainer(extra={"sort_blocks": 1})
+    before = float(np.sqrt(np.mean(
+        (tr.predict_all(pds) - pds.rows.labels) ** 2)))
+    for _ in range(3):
+        tr.update_all(src)
+    after = float(np.sqrt(np.mean(
+        (tr.predict_all(pds) - pds.rows.labels) ** 2)))
+    assert np.isfinite(after) and after < before
 
 
 def test_streamed_predict_matches_staged(tmp_path):
