@@ -1,11 +1,13 @@
-"""Big-table SVD++ epoch (ops/svdpp_big.py) on-device benchmark.
+"""What (users_per_batch G, rows_per_user M) geometry makes the
+KDD-scale SVD++ epoch (ops/svdpp_big.py) fastest on the live TPU, and
+how far is it from the reference-CPU baseline (3.04M ex/s,
+golden/GOLDEN.json bigSvdpp)?
 
-Synthetic KDD-Cup-shaped workload: 100k users x 200k items x 200k
-feedback ids (500k-row unified table, far above ONEHOT_THRESHOLD),
-k=64, ~20 rows/user.  One process, axon discipline: tiny-matmul health
-check first, then solver-level rounds with value-fetch timing.
+Uses bench.make_big_plus()'s exact synthetic (2M rows).  One process,
+axon discipline: tiny-matmul health check first, warm at the timed
+round count, value-fetch timing.
 
-Run:  PYTHONPATH=/root/repo:/root/.axon_site timeout 1500 python scripts/bench_svdpp_big.py
+Run:  PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 python scripts/bench_svdpp_big.py
 """
 
 import json
@@ -20,8 +22,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
-SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
-
 
 def emit(**kw):
     print(json.dumps(kw), flush=True)
@@ -32,70 +32,50 @@ x = jnp.ones((256, 256))
 _ = float(np.asarray(jax.device_get((x @ x)[:1, :1])).ravel()[0])
 emit(probe="health", devices=[str(d) for d in jax.devices()], s=round(time.time() - t0, 1))
 
-from svdfeature_tpu.data.csr import CSRDataset, PlusBlock, PlusDataset  # noqa: E402
+import bench  # noqa: E402
 from svdfeature_tpu.params import SVDTypeParam  # noqa: E402
 from svdfeature_tpu.solvers.svdpp import SVDPPFeatureTrainer  # noqa: E402
 
-NU, NI, NF, K = (2000, 3000, 3000, 16) if SMALL else (100_000, 200_000, 200_000, 64)
-USERS = 2000 if SMALL else 100_000
-ROWS_MEAN = 20
-
-rng = np.random.default_rng(0)
 t0 = time.time()
-counts = rng.poisson(ROWS_MEAN, USERS).clip(1, 64)
-fbcounts = rng.integers(1, 12, USERS)
-blocks = []
-for u in range(USERS):
-    n = int(counts[u])
-    items = rng.integers(0, NI, n)
-    row_ptr = np.zeros(3 * n + 1, np.int32)
-    row_ptr[1:] = np.cumsum(np.tile([0, 1, 1], n))
-    idx = np.empty(2 * n, np.uint32)
-    idx[0::2] = u
-    idx[1::2] = items
-    data = CSRDataset(
-        rng.integers(1, 6, n).astype(np.float32),
-        row_ptr,
-        idx,
-        np.ones(2 * n, np.float32),
-    )
-    nfb = int(fbcounts[u])
-    blocks.append(
-        PlusBlock(
-            rng.integers(0, NF, nfb).astype(np.uint32),
-            np.ones(nfb, np.float32),
-            data,
-        )
-    )
-ds = PlusDataset.from_blocks(blocks)
-EX = ds.rows.num_row
+pds, dims = bench.make_big_plus()
+EX = dims["EX"]
 emit(probe="dataset", rows=EX, build_s=round(time.time() - t0, 1))
 
-for G, M in ((256, 8), (512, 8), (256, 4)):
+GEOMS = [(512, 8), (1024, 8), (2048, 8), (4096, 8), (2048, 16), (1024, 4)]
+if os.environ.get("GEOMS"):
+    GEOMS = [tuple(map(int, gm.split("x"))) for gm in os.environ["GEOMS"].split(",")]
+
+R = 3
+for G, M in GEOMS:
     tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
     for kk, vv in dict(
-        num_user=NU, num_item=NI, num_ufeedback=NF, num_factor=K,
-        base_score=3, learning_rate=0.005, wd_user=0.004, wd_item=0.004,
-        wd_ufeedback=0.004, users_per_batch=G, rows_per_user=M,
-        sort_blocks=1,
+        num_user=dims["NU"], num_item=dims["NI"], num_ufeedback=dims["NF"],
+        num_factor=dims["KF"], base_score=3, learning_rate=0.005,
+        wd_user=0.004, wd_item=0.004, wd_ufeedback=0.004,
+        users_per_batch=G, rows_per_user=M, sort_blocks=1,
     ).items():
         tr.set_param(kk, str(vv))
     tr.init_model()
     tr.init_trainer()
-    assert tr.hp.big_table or SMALL, tr.hp
+    assert tr.hp.big_table, tr.hp
     t0 = time.time()
-    tr.update_rounds(ds, 1)  # pack + compile + 1 round
+    tr._pack_plus(pds)
+    pack_s = time.time() - t0
+    t0 = time.time()
+    tr.update_rounds(pds, R)  # compile AT the timed round count + warm
     _ = int(tr.state.step)
     warm = time.time() - t0
-    R = 3
-    t0 = time.time()
-    tr.update_rounds(ds, R)
-    _ = int(tr.state.step)
-    dt = (time.time() - t0) / R
+    best = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        tr.update_rounds(pds, R)
+        _ = int(tr.state.step)
+        best = min(best, time.time() - t0)
     emit(
-        probe=f"svdpp_big_G{G}_M{M}", warm_s=round(warm, 1),
-        ms_per_round=round(dt * 1e3, 1),
-        metric="examples_per_sec", value=round(EX / dt),
+        probe=f"svdpp_big_G{G}_M{M}", pack_s=round(pack_s, 1),
+        warm_s=round(warm, 1), ms_per_round=round(best / R * 1e3, 1),
+        metric="examples_per_sec", value=round(R * EX / best),
+        vs_baseline=round(R * EX / best / 3041440, 2),
     )
     del tr
 
