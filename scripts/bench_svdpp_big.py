@@ -75,7 +75,7 @@ for G, M in GEOMS:
         probe=f"svdpp_big_G{G}_M{M}", pack_s=round(pack_s, 1),
         warm_s=round(warm, 1), ms_per_round=round(best / R * 1e3, 1),
         metric="examples_per_sec", value=round(R * EX / best),
-        vs_baseline=round(R * EX / best / 3041440, 2),
+        vs_baseline=round(R * EX / best / 887188, 2),  # GOLDEN.json bigSvdpp
     )
     del tr
 

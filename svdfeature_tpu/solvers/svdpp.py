@@ -265,6 +265,48 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             hp = dataclasses.replace(hp, sweep_table=False)
         return hp
 
+    def _carry_users_plan(self, packed):
+        """[C, G] user-row ids per chunk when the packed layout supports
+        the big-table user-carry epoch (ops/svdpp_big carry_users): every
+        unit's user segment is a single constant id (Su == 1), distinct
+        across the chunk's units.  Returns None when the layout (or a
+        hierarchy expansion) breaks the condition — the generic entry
+        path handles those."""
+        import numpy as np
+
+        u_idx = packed.u_idx  # [T, GS, Su]
+        if u_idx.shape[2] != 1:
+            return None
+        M = packed.rows_per_user
+        T, GS, _ = u_idx.shape
+        G = GS // M
+        dummy = self.model.num_rows
+        ids = u_idx[:, :, 0].reshape(T, G, M).astype(np.int64)
+        arr = np.where(ids == dummy, -1, ids)
+        per_t_max = arr.max(axis=2)  # [T, G]
+        big = np.where(arr < 0, np.iinfo(np.int64).max, arr)
+        per_t_min = np.where(
+            per_t_max < 0, -1, big.min(axis=2)
+        )
+        if (per_t_min != per_t_max).any():
+            return None  # mixed ids within one unit's slots
+        cid = np.asarray(packed.chunk_id)
+        C = int(cid.max()) + 1 if len(cid) else 1
+        chunk_users = np.full((C, G), dummy, np.int64)
+        for c in range(C):
+            rows = per_t_max[cid == c]  # [Tc, G]
+            if not len(rows):
+                continue
+            cu = rows.max(axis=0)
+            # constant across the chunk's batches where real
+            if (np.where(rows < 0, cu, rows) != cu[None]).any():
+                return None
+            real = cu[cu >= 0]
+            if len(np.unique(real)) != len(real):
+                return None  # same user in two units of one chunk
+            chunk_users[c] = np.where(cu < 0, dummy, cu)
+        return chunk_users.astype(np.int32)
+
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         key = id(ds)
         if not cache or key not in self._pack_cache:
@@ -316,10 +358,15 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                     None,  # overlap unused on the mesh path
                 )
             else:
+                fbd = packed.fb_arrays()
+                if self.hp.big_table and self.hp.reg_method < 4:
+                    plan = self._carry_users_plan(packed)
+                    if plan is not None:
+                        fbd["chunk_users"] = plan  # enables carry_users
                 entry = (
                     jax.device_put(packed.device_arrays()),
                     jax.device_put(packed.chunk_id),
-                    jax.device_put(packed.fb_arrays()),
+                    jax.device_put(fbd),
                     packed.perm,
                     jax.device_put(packed.fb_overlap),
                 )
@@ -509,10 +556,23 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         if self.hp.big_table:
             from ..ops.svdpp_big import train_epoch_plus_big
 
-            epoch = train_epoch_plus_big
-        else:
-            epoch = train_epoch_plus
-        self.state = epoch(
+            self.state = train_epoch_plus_big(
+                self.state,
+                stacked,
+                chunk_id,
+                fb,
+                overlap,
+                jnp.float32(self.learning_rate),
+                self.consts,
+                self.hp,
+                self.tparam.scale_lr_ufeedback,
+                self.tparam.wd_ufeedback,
+                self.tparam.wd_ufeedback_bias,
+                rows_per_user=self.rows_per_user,
+                carry_users="chunk_users" in fb,
+            )
+            return
+        self.state = train_epoch_plus(
             self.state,
             stacked,
             chunk_id,

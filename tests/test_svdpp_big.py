@@ -171,3 +171,137 @@ def test_solver_common_space_keeps_small_layout(monkeypatch):
     assert not tr.hp.big_table
     tr.update_rounds(ds, 1)  # refresh path, standard layout
     assert tr.state.b.shape[0] > 0
+
+
+# ---- user-carry variant (carry_users=True) --------------------------------
+def _pack_raw(tr, ds, rows_per_user=1):
+    from svdfeature_tpu.data.batching_plus import pack_plus
+
+    m = tr.model
+    return pack_plus(
+        ds, tr.users_per_batch, m.num_rows, m.param.num_global,
+        m.off_user, m.off_item, m.off_ufeedback,
+        num_user=m.param.num_user, num_item=m.param.num_item,
+        num_ufeedback=m.param.num_ufeedback, rows_per_user=rows_per_user,
+    )
+
+
+@pytest.mark.parametrize("rows_per_user", [1, 2])
+def test_big_epoch_carry_users_matches_small(rows_per_user):
+    """carry_users=True (user rows carried in the scan, dense slab
+    updates, one gather + one write per chunk) must reproduce the
+    train_epoch_plus trajectory exactly like the entry path does."""
+    tr, ds = make_trainer(seed=21, extra={"rows_per_user": rows_per_user})
+    packed = _pack_raw(tr, ds, rows_per_user)
+    plan = tr._carry_users_plan(packed)
+    assert plan is not None
+    fb = packed.fb_arrays()
+    fb["chunk_users"] = plan
+    stacked = packed.device_arrays()
+    args = (
+        jnp.float32(0.01), tr.consts, tr.hp,
+        tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    n = int(tr.state.w.shape[0])
+    hp_big = dataclasses.replace(
+        tr.hp, big_table=True, num_factor=K, row_dma=False, sweep_table=False
+    )
+    args_big = (
+        jnp.float32(0.01), tr.consts, hp_big,
+        tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    chunk_id = stacked.pop("chunk_id")
+    st1 = jax.tree.map(jnp.copy, tr.state)
+    st2 = augment_state(jax.tree.map(jnp.copy, tr.state), K)
+    for _ in range(3):
+        st1 = train_epoch_plus(
+            st1, dict(stacked, chunk_id=chunk_id), chunk_id,
+            packed.fb_arrays(), packed.fb_overlap, *args,
+            rows_per_user=rows_per_user,
+        )
+        st2 = train_epoch_plus_big(
+            st2, dict(stacked, chunk_id=chunk_id), chunk_id, fb,
+            packed.fb_overlap, *args_big, rows_per_user=rows_per_user,
+            carry_users=True,
+        )
+    assert_close(st1, deaugment_state(st2, K, n_rows=n))
+
+
+def test_big_epoch_carry_no_user_bias_nonneg():
+    tr, ds = make_trainer(
+        seed=23, extra={"no_user_bias": 1, "user_nonnegative": 1}
+    )
+    packed = _pack_raw(tr, ds)
+    plan = tr._carry_users_plan(packed)
+    assert plan is not None
+    fb = packed.fb_arrays()
+    fb["chunk_users"] = plan
+    stacked = packed.device_arrays()
+    chunk_id = stacked.pop("chunk_id")
+    n = int(tr.state.w.shape[0])
+    hp_big = dataclasses.replace(
+        tr.hp, big_table=True, num_factor=K, row_dma=False, sweep_table=False
+    )
+    args = (
+        jnp.float32(0.01), tr.consts, tr.hp,
+        tr.tparam.scale_lr_ufeedback, tr.tparam.wd_ufeedback,
+        tr.tparam.wd_ufeedback_bias,
+    )
+    args_big = args[:2] + (hp_big,) + args[3:]
+    st1 = jax.tree.map(jnp.copy, tr.state)
+    st2 = augment_state(jax.tree.map(jnp.copy, tr.state), K)
+    for _ in range(2):
+        st1 = train_epoch_plus(
+            st1, dict(stacked, chunk_id=chunk_id), chunk_id,
+            packed.fb_arrays(), packed.fb_overlap, *args,
+        )
+        st2 = train_epoch_plus_big(
+            st2, dict(stacked, chunk_id=chunk_id), chunk_id, fb,
+            packed.fb_overlap, *args_big, carry_users=True,
+        )
+    assert_close(st1, deaugment_state(st2, K, n_rows=n))
+
+
+def test_carry_plan_rejects_nonconstant_user_segment():
+    """Rows of one unit carrying different user-feature ids break the
+    carry precondition — the plan must refuse (generic path handles)."""
+    rng = np.random.RandomState(3)
+    data_lines, fb_lines = [], []
+    for u in range(6):
+        nrows = 3
+        fb_lines.append("3 1 2:0.5")
+        for r in range(nrows):
+            # user segment id varies per row within the unit
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {(u + r) % 6}:1 "
+                f"{rng.randint(0, 12)}:1"
+            )
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+    tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
+    for n, v in dict(
+        num_user=6, num_item=12, num_ufeedback=15, num_factor=K,
+        base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+        wd_ufeedback=0.003, users_per_batch=4,
+    ).items():
+        tr.set_param(n, str(v))
+    tr.init_model()
+    tr.init_trainer()
+    assert tr._carry_users_plan(_pack_raw(tr, ds)) is None
+
+
+def test_solver_big_table_engages_carry(monkeypatch):
+    """Above the threshold with the classic layout, the solver's packed
+    entry must carry chunk_users (i.e. the fast path is actually ON for
+    the shape the bench measures) and train identically to the small
+    path (already pinned by test_solver_routes_big_table)."""
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    tr, ds = make_trainer(seed=11)
+    assert tr.hp.big_table
+    entry = tr._pack_plus(ds)
+    assert "chunk_users" in entry[2]
