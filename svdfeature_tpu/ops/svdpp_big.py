@@ -360,7 +360,31 @@ def train_epoch_plus_big(
     rows_per_user: int = 1,
     carry_users: bool = False,
 ):
+    return train_epoch_plus_big_impl(
+        state, stacked, chunk_id, fb, fb_overlap, lr, consts, hp,
+        scale_lr_ufeedback, wd_ufeedback, wd_ufeedback_bias,
+        rows_per_user=rows_per_user, carry_users=carry_users,
+    )
+
+
+def train_epoch_plus_big_impl(
+    state: TrainState,
+    stacked,
+    chunk_id,
+    fb,
+    fb_overlap,
+    lr: jax.Array,
+    consts,
+    hp,
+    scale_lr_ufeedback=1.0,
+    wd_ufeedback=0.0,
+    wd_ufeedback_bias=0.0,
+    rows_per_user: int = 1,
+    carry_users: bool = False,
+):
     """One pass over [T, G*M] batches on the augmented table.
+    (Un-jitted impl — call this from inside an outer trace, e.g. the
+    multi-round pair scan; the jit wrapper above owns donation.)
 
     Same carried-state recurrence as ops/svdpp.train_epoch_plus (see
     its docstring for the closed-form derivation and the M-wide Jacobi

@@ -53,7 +53,9 @@ def _pair_assemble_train(
 ):
     """Jitted assemble+epoch: gathers the sampled rows' (idx, val)
     entries from the static tables and runs the epoch(s) in the same
-    dispatch (Pallas whole-run kernel when supported)."""
+    dispatch (Pallas whole-run kernel when supported; the augmented
+    big-table epoch above ONEHOT_THRESHOLD, with the user-carry variant
+    when the skeleton shipped fb["chunk_users"])."""
     from ..ops.pallas_svdpp import train_rounds_svdpp_pallas
 
     stacked = _pair_stacked(sk_dev, flatP, flatN)
@@ -61,6 +63,14 @@ def _pair_assemble_train(
         return train_rounds_svdpp_pallas(
             state, stacked, chunk_id, fb, overlap, lrs, consts,
             hp, G, M, off_user, off_item, *fbh,
+        )
+    if hp.big_table:
+        from ..ops.svdpp_big import train_epoch_plus_big_impl
+
+        return train_epoch_plus_big_impl(
+            state, stacked, chunk_id, fb, overlap, lrs[0], consts,
+            hp, *fbh, rows_per_user=M,
+            carry_users="chunk_users" in fb,
         )
     return train_epoch_plus(
         state, stacked, chunk_id, fb, overlap, lrs[0], consts,
@@ -111,6 +121,29 @@ def _pair_multi_train(
         i_idx=jnp.stack([gp[..., 2], gn[..., 0]], axis=-1),
         i_val=jnp.stack([fbits(gp[..., 3]), -fbits(gn[..., 1])], axis=-1),
     )
+    if hp.big_table:
+        # K augmented-table epochs over the assembled planes (the
+        # whole-run kernel needs a VMEM-resident table); user-carry
+        # rides when the skeleton proved the layout (fb["chunk_users"]).
+        # Static planes (label/weight/g_*) are [T, ...] and shared by
+        # every round; only the sampled u/i planes are per-round.
+        from ..ops.svdpp_big import train_epoch_plus_big_impl
+
+        dyn = {
+            kk: stacked[kk].reshape((K, T) + stacked[kk].shape[1:])
+            for kk in ("u_idx", "u_val", "i_idx", "i_val")
+        }
+        carry = "chunk_users" in fb
+
+        def round_body(st, xs):
+            lr, d = xs
+            return train_epoch_plus_big_impl(
+                st, dict(sk_dev["static"], **d), chunk_id, fb, overlap,
+                lr, consts, hp, *fbh, rows_per_user=M, carry_users=carry,
+            ), None
+
+        state, _ = jax.lax.scan(round_body, state, (lrs, dyn))
+        return state
     return train_rounds_svdpp_pallas(
         state, stacked, chunk_id, fb, overlap, lrs, consts,
         hp, G, M, off_user, off_item, *fbh,
@@ -671,9 +704,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
     # synthesis+packing (~0.25 s on ML-100K) to the sampling loop (~20 ms),
     # and transfer from ~14 MB to ~2 MB.
     def _pair_skeleton_ok(self, ds) -> bool:
+        # (big tables ride the skeleton too: assembly is table-size
+        # independent and _pair_assemble_train/_pair_multi_train route
+        # to the augmented epoch instead of the VMEM Pallas kernel)
         if (
             self._mesh is not None
-            or self.hp.big_table
             or self.model.param.common_feedback_space
             or self.feat_user is not None
             or self.feat_item is not None
@@ -801,6 +836,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             "M": packed.rows_per_user,
             "use_pallas": bool(
                 self.use_pallas
+                and not self.hp.big_table  # augmented layout: big epoch
                 and default_device_is_tpu()
                 and pallas_svdpp_supported(
                     self.hp, self.state, probe, fbd, m.off_user
@@ -815,6 +851,69 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self.tparam.wd_ufeedback,
             self.tparam.wd_ufeedback_bias,
         )
+
+    def _pair_chunk_users(self, jp_slot, pstart_elem, uid_cand, sk):
+        """[C, G] chunk-user plan for the big-table pair path, derived
+        from the epoch-INVARIANT candidate geometry (every candidate
+        row's user id per block, placed through jp_slot), so it holds
+        for every epoch's sample — unlike a plan read off one epoch's
+        assembled planes, which can miss a user whose sampled rows were
+        all dead that epoch.  None when the layout disproves the carry
+        precondition (mixed ids in a block, duplicate users in a chunk)
+        or it does not apply (small table, lazy reg)."""
+        if not (self.hp.big_table and self.hp.reg_method < 4):
+            return None
+        dummy = sk["dummy"]
+        # pstart_elem is PER-CANDIDATE: the start position of the block
+        # owning each candidate (the sampler adds a block-local offset
+        # to it, _pair_multi_train.plane), so block boundaries are where
+        # consecutive starts change
+        starts = np.asarray(pstart_elem, np.int64)
+        P = len(starts)
+        if P == 0:
+            return None
+        u = np.where(uid_cand == dummy, -1, uid_cand).astype(np.int64)
+        newblk = np.concatenate([[True], starts[1:] != starts[:-1]])
+        bnd = np.flatnonzero(newblk)
+        segmax = np.maximum.reduceat(u, bnd)
+        big = np.where(u < 0, np.iinfo(np.int64).max, u)
+        segmin = np.minimum.reduceat(big, bnd)
+        live = segmax >= 0
+        if (segmin[live] != segmax[live]).any():
+            return None  # two user ids inside one block's candidates
+        block_uid = np.where(live, segmax, dummy)
+        cand_uid = block_uid[np.cumsum(newblk) - 1]  # [P]
+        # place through the grid: slot s -> candidate jp_slot[s] (a
+        # block-local permutation keeps the sample inside the block, so
+        # the block's uid holds for every epoch); pad slots (== P) ->
+        # dummy
+        j = np.asarray(jp_slot, np.int64)
+        uid_slot = np.where(j >= P, dummy, cand_uid[np.minimum(j, P - 1)])
+        T, GS, G, M = sk["T"], sk["GS"], sk["G"], sk["M"]
+        uid_tg = np.where(
+            uid_slot.reshape(T, G, M) == dummy, -1,
+            uid_slot.reshape(T, G, M),
+        )
+        tg_max = uid_tg.max(axis=2)
+        tg_big = np.where(uid_tg < 0, np.iinfo(np.int64).max, uid_tg)
+        tg_min = np.where(tg_max < 0, -1, tg_big.min(axis=2))
+        if (tg_min != tg_max).any():
+            return None
+        cid = np.asarray(sk["chunk_id"], np.int64)
+        C = int(cid.max()) + 1 if len(cid) else 1
+        chunk_users = np.full((C, G), dummy, np.int64)
+        for c in range(C):
+            rows = tg_max[cid == c]
+            if not len(rows):
+                continue
+            cu = rows.max(axis=0)
+            if (np.where(rows < 0, cu, rows) != cu[None]).any():
+                return None
+            real = cu[cu >= 0]
+            if len(np.unique(real)) != len(real):
+                return None
+            chunk_users[c] = np.where(cu < 0, dummy, cu)
+        return chunk_users.astype(np.int32)
 
     def _pair_flats(self, ds, sk):
         """Sample one epoch and place the pair rows at their static slots;
@@ -907,7 +1006,8 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             self._pair_sk = self._build_pair_skeleton(ds)
             self._pair_src = id(ds)
             self._pair_future = None
-        return self._pair_sk["use_pallas"]
+        # big tables: same multi-round dispatch, augmented epoch inside
+        return self._pair_sk["use_pallas"] or self.hp.big_table
 
     def _train_pair_rounds_host(self, ds, lrs) -> None:
         """lrs rounds in ceil(R/K) _pair_multi_train dispatches; block
@@ -937,17 +1037,26 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 j = np.take(jmap, np.minimum(slot_inv, S - 1))
                 return np.where(slot_inv == S, P, j).astype(np.int32)
 
+            jp_slot = jslot(geo["jp"], len(pr))
             sk["geo"] = jax.device_put(
                 {
                     "pos_tbl": pos_tbl,
                     "neg_tbl": neg_tbl,
                     "pstart_elem": geo["pstart_elem"],
                     "nstart_elem": geo["nstart_elem"],
-                    "jp_slot": jslot(geo["jp"], len(pr)),
+                    "jp_slot": jp_slot,
                     "jn_slot": jslot(geo["jn"], len(nr)),
                 }
             )
             sk["multi_rng"] = np.random.default_rng(self.rank_device_seed)
+            plan = self._pair_chunk_users(
+                jp_slot, geo["pstart_elem"], uri[pr], sk
+            )
+            if plan is not None:
+                # enables the big epoch's user-carry variant for the
+                # assembled pair planes (epoch-independent: derived
+                # from the CANDIDATE tables, not one epoch's sample)
+                sk["fb"] = dict(sk["fb"], chunk_users=jax.device_put(plan))
         if self._pair_pool is None:
             import concurrent.futures
 

@@ -484,3 +484,60 @@ def test_pair_multi_path_zero_rounds_noop(monkeypatch):
     w0 = np.asarray(tr.state.w).copy()
     tr.update_rounds(src, 0)
     np.testing.assert_array_equal(np.asarray(tr.state.w), w0)
+
+
+# ---- big-table pair paths (augmented epoch behind the skeleton) -----------
+def test_pair_big_table_per_round_matches_small(monkeypatch):
+    """Above ONEHOT_THRESHOLD the per-round skeleton path routes the
+    assembled planes through the augmented big epoch (with user-carry
+    when the candidate geometry proves the layout) — same sampling
+    stream, so the trained model must match the small-table run."""
+    from svdfeature_tpu.ops import embed
+
+    ds = _noglobal_pair_ds()
+    cfg = [("users_per_batch", "16"), ("num_global", "0"),
+           ("num_user", "60"), ("num_item", "100"),
+           ("num_ufeedback", "130"), ("learning_rate", "0.02")]
+    tr1 = _mini_rank_trainer(cfg)
+    src1 = PairSource(ds, IteratorConfig(), seed=9)
+    tr1.update_rounds(src1, 4)
+    eval_ds = PairSource(ds, IteratorConfig(), seed=31).epoch_dataset()
+    p1 = tr1.predict_all(eval_ds)
+
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    tr2 = _mini_rank_trainer(cfg)
+    assert tr2.hp.big_table
+    src2 = PairSource(ds, IteratorConfig(), seed=9)
+    tr2.update_rounds(src2, 4)
+    p2 = tr2.predict_all(eval_ds)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
+
+
+def test_pair_big_multi_path_trains(monkeypatch):
+    """Big-table host multi-round path: _pair_host_multi_ok admits big
+    tables (augmented epoch instead of the VMEM Pallas kernel inside
+    _pair_multi_train), the candidate-derived chunk_users plan engages
+    the user-carry variant, and the model learns the pair ordering."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from svdfeature_tpu.ops import embed
+
+    monkeypatch.setattr(embed, "default_device_is_tpu", lambda: True)
+    monkeypatch.setattr(embed, "ONEHOT_THRESHOLD", 4)
+    ds = _noglobal_pair_ds()
+    tr = _mini_rank_trainer(
+        [("users_per_batch", "16"), ("num_global", "0"),
+         ("num_user", "60"), ("num_item", "100"), ("num_ufeedback", "130"),
+         ("learning_rate", "0.02")]
+    )
+    assert tr.hp.big_table
+    src = PairSource(ds, IteratorConfig(), seed=9)
+    with pltpu.force_tpu_interpret_mode():  # hp.row_dma writer on CPU
+        tr._apply_pair_layout()
+        assert tr._pair_host_multi_ok(src)
+        assert not tr._pair_sk["use_pallas"]  # the big epoch, not the kernel
+        tr.update_rounds(src, 10)
+    assert "geo" in tr._pair_sk
+    assert "chunk_users" in tr._pair_sk["fb"]  # carry engaged
+    p = tr.predict_all(PairSource(ds, IteratorConfig(), seed=31).epoch_dataset())
+    assert np.mean(p > 0.5) > 0.9
