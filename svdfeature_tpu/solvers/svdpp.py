@@ -650,6 +650,20 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         )
         arrays = packed.device_arrays()
         fbd = packed.fb_arrays()
+        if (
+            self._mesh is None
+            and self.hp.big_table
+            and self.hp.reg_method < 4
+        ):
+            plan = self._carry_users_plan(packed)
+            if plan is not None:
+                # pad to the stream's stable chunk cap so every chunk
+                # compiles to the same program (incl. the reserved
+                # all-padding chunk, whose users are all dummy)
+                c_out = fbd["fb_idx"].shape[0]
+                full = np.full((c_out, plan.shape[1]), m.num_rows, np.int32)
+                full[: plan.shape[0]] = plan
+                fbd["chunk_users"] = full
         if self._mesh is not None:
             from ..parallel.svdpp_mesh import pad_plus_for_mesh
 

@@ -226,8 +226,15 @@ def test_plus_streamed_big_table(tmp_path, monkeypatch):
     assert staged.hp.big_table
     for _ in range(2):
         staged.update_all(ds)
+    # the staged side engages the user-carry epoch on this layout
+    assert "chunk_users" in staged._pack_plus(ds)[2]
     streamed = make_plus_trainer()
     assert streamed.hp.big_table
+    # ... and so does every streamed chunk (cap-stable plan shape)
+    caps = src.plan_caps(2, 1)
+    entry = streamed.pack_plus_chunk(next(src.chunks()), caps)
+    assert "chunk_users" in entry[2]
+    assert entry[2]["chunk_users"].shape[0] == entry[2]["fb_idx"].shape[0]
     for _ in range(2):
         streamed.update_all(src)
 
