@@ -93,6 +93,59 @@ def compute_fb_overlap(fb_idx, fb_val, fb_block, G: int) -> np.ndarray:
     return fb_overlap
 
 
+def compute_fb_overlap_factored(fb_idx, fb_val, fb_block, G: int):
+    """Exact factored form of compute_fb_overlap for LARGE G.
+
+    The dense O is [C, G+1, G+1] — 1.7 GB at the big-table bench's
+    G=4096 — but its off-diagonal mass comes ONLY from feedback ids
+    duplicated across users WITHIN a chunk.  Split by id:
+
+        O = D1 + Pd @ Pd.T
+
+    where D1 is the diagonal of the non-duplicated entries' val^2 and
+    Pd [G+1, Ld] holds the duplicated ids' values (its product carries
+    their diagonal contributions too).  At KDD scale Ld is ~1e2 per
+    chunk (birthday collisions of ~1e4 entries over ~6e5 ids), so the
+    per-batch correction O @ d becomes diag*d + two skinny matmuls and
+    the stored arrays shrink ~1000x.
+
+    Returns (diag [C, G+1], dup [C, G+1, Ld]) with Ld = max over
+    chunks (padded with zero columns), or None when the factored form
+    would not be smaller (Ld > G+1 — densely duplicated pools, e.g.
+    demo-scale data; the caller falls back to the dense O)."""
+    C = fb_idx.shape[0]
+    diag = np.zeros((C, G + 1), np.float32)
+    cols: List[np.ndarray] = []
+    for c in range(C):
+        live = fb_val[c] != 0
+        ids = fb_idx[c][live]
+        blocks_c = fb_block[c][live]
+        vals = fb_val[c][live]
+        if not len(ids):
+            cols.append(np.zeros((G + 1, 0), np.float32))
+            continue
+        uniq, inv, cnt = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+        dup_id = cnt > 1
+        solo = ~dup_id[inv]
+        np.add.at(diag[c], blocks_c[solo], vals[solo] ** 2)
+        ndup = int(dup_id.sum())
+        P = np.zeros((G + 1, ndup), np.float32)
+        if ndup:
+            remap = np.full(len(uniq), -1, np.int64)
+            remap[dup_id] = np.arange(ndup)
+            sel = ~solo
+            np.add.at(P, (blocks_c[sel], remap[inv[sel]]), vals[sel])
+        cols.append(P)
+    Ld = max(p.shape[1] for p in cols)
+    if Ld > G + 1:
+        return None  # dense is smaller; not the big-table regime
+    dup = np.zeros((C, G + 1, max(Ld, 1)), np.float32)
+    for c, p in enumerate(cols):
+        dup[c, :, : p.shape[1]] = p
+    return diag, dup
+
+
 def merge_split_blocks(ds: PlusDataset) -> List[PlusBlock]:
     """Merge START..MIDDLE..END chunk sequences into logical blocks."""
     out: List[PlusBlock] = []
@@ -141,6 +194,7 @@ def pack_plus(
     f_cap: int = 0,
     c_cap: int = 0,
     seg_caps=None,
+    factored_overlap: bool = False,
 ) -> PackedPlusBatches:
     """rows_per_user (M): consecutive rows of each user trained in the
     same batch.  M=1 is the strict one-row-per-user layout; M>1 widens
@@ -281,7 +335,19 @@ def pack_plus(
                 f0 += nf
         t0 += Tc
 
-    fb_overlap = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
+    if factored_overlap:
+        # big-table callers: the dense [C, G+1, G+1] O is ~1.7 GB at
+        # G=4096 and dominates pack time; the factored form is exact
+        # (see compute_fb_overlap_factored) and ~1000x smaller when
+        # in-chunk id duplication is sparse.  Falls back to dense when
+        # duplication is dense (Ld > G+1).
+        fac = compute_fb_overlap_factored(fb_idx, fb_val, fb_block, G)
+        if fac is not None:
+            fb_overlap = {"diag": fac[0], "dup": fac[1]}
+        else:
+            fb_overlap = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
+    else:
+        fb_overlap = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
 
     return PackedPlusBatches(
         chunk_id=chunk_id,

@@ -79,6 +79,38 @@ def _fb_writeback_big(w, cfb, delta_pad, delta_b_pad, with_bias, k, row_dma):
     return write_rows_unique(w, tgt, new_rows, row_dma=row_dma)
 
 
+# ---- overlap representations --------------------------------------------
+# fb_overlap arrives either dense ([C, G+1, G+1]) or FACTORED as
+# {"diag": [C, G+1], "dup": [C, G+1, Ld]} with O = diag + dup @ dup.T
+# (exact; data/batching_plus.compute_fb_overlap_factored) — the dense O
+# is ~1.7 GB at the bench's G=4096 and its 16.8 MB read per batch was
+# measurable, while Ld is ~1e2 at KDD scale.
+def _ov_slice(fb_overlap, cid):
+    if isinstance(fb_overlap, dict):
+        return (fb_overlap["diag"][cid], fb_overlap["dup"][cid])
+    return fb_overlap[cid]
+
+
+def _ov_zero(fb_overlap, G):
+    if isinstance(fb_overlap, dict):
+        Ld = fb_overlap["dup"].shape[2]
+        return (
+            jnp.zeros((G + 1,), jnp.float32),
+            jnp.zeros((G + 1, Ld), jnp.float32),
+        )
+    return jnp.zeros((G + 1, G + 1), jnp.float32)
+
+
+def _ov_mul(O, d):
+    """O @ d for either representation; d is [G+1, k] or [G+1]."""
+    if isinstance(O, tuple):
+        dg, Pd = O
+        if d.ndim == 2:
+            return dg[:, None] * d + Pd @ (Pd.T @ d)
+        return dg * d + Pd @ (Pd.T @ d)
+    return O @ d
+
+
 def _forward_entries_carry(
     state, batch, uslab, lr, consts, hp, M, p_u_extra=None, bias_extra=None,
 ):
@@ -258,7 +290,7 @@ def _epoch_carry(
             nrm = nrm[:G]
             inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
             return (
-                st, fb_overlap[cid], s[:G], sb[:G], nrm, inv,
+                st, _ov_slice(fb_overlap, cid), s[:G], sb[:G], nrm, inv,
                 jnp.zeros_like(dacc), jnp.zeros_like(dbacc), uslab, wdu,
             )
 
@@ -308,14 +340,14 @@ def _epoch_carry(
         )
         delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
         dacc = dacc + delta_pad
-        fb_sum = fb_sum + (O @ delta_pad)[:G]
+        fb_sum = fb_sum + _ov_mul(O, delta_pad)[:G]
         if with_bias:
             dtmp_b = (
                 fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
             )
             delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
             dbacc = dbacc + delta_b_pad
-            fb_bias = fb_bias + (O @ delta_b_pad)[:G]
+            fb_bias = fb_bias + _ov_mul(O, delta_b_pad)[:G]
         return (
             st, cid, O, fb_sum, fb_bias, norm, inv, dacc, dbacc, uslab, wdu
         ), None
@@ -326,7 +358,7 @@ def _epoch_carry(
     uslab0 = gather_rows(state.w, ids0)
     uslab0 = jnp.where((ids0 != dummy)[:, None], uslab0, 0.0)
     init = (
-        state, jnp.int32(0), jnp.zeros((G + 1, G + 1), jnp.float32),
+        state, jnp.int32(0), _ov_zero(fb_overlap, G),
         z, zb, zb, zb,
         jnp.zeros((G + 1, k), jnp.float32), jnp.zeros((G + 1,), jnp.float32),
         uslab0, consts.wd_u_row[ids0],
@@ -454,7 +486,7 @@ def train_epoch_plus_big_impl(
             nrm = nrm[:G]
             inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
             return (
-                st, fb_overlap[cid], s[:G], sb[:G], nrm, inv,
+                st, _ov_slice(fb_overlap, cid), s[:G], sb[:G], nrm, inv,
                 jnp.zeros_like(dacc), jnp.zeros_like(dbacc),
             )
 
@@ -500,20 +532,20 @@ def train_epoch_plus_big_impl(
         )
         delta_pad = jnp.concatenate([dtmp * inv[:, None], jnp.zeros((1, k))], 0)
         dacc = dacc + delta_pad
-        fb_sum = fb_sum + (O @ delta_pad)[:G]
+        fb_sum = fb_sum + _ov_mul(O, delta_pad)[:G]
         if with_bias:
             dtmp_b = (
                 fb_bias * (jnp.power(db, m_g) - 1.0) + lr_fb * norm * err_g
             )
             delta_b_pad = jnp.concatenate([dtmp_b * inv, jnp.zeros((1,))])
             dbacc = dbacc + delta_b_pad
-            fb_bias = fb_bias + (O @ delta_b_pad)[:G]
+            fb_bias = fb_bias + _ov_mul(O, delta_b_pad)[:G]
         return (st, cid, O, fb_sum, fb_bias, norm, inv, dacc, dbacc), None
 
     z = jnp.zeros((G, k), jnp.float32)
     zb = jnp.zeros((G,), jnp.float32)
     init = (
-        state, jnp.int32(0), jnp.zeros((G + 1, G + 1), jnp.float32),
+        state, jnp.int32(0), _ov_zero(fb_overlap, G),
         z, zb, zb, zb,
         jnp.zeros((G + 1, k), jnp.float32), jnp.zeros((G + 1,), jnp.float32),
     )

@@ -359,6 +359,9 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 num_ufeedback=m.param.num_ufeedback,
                 sort_blocks=bool(self.sort_blocks),
                 rows_per_user=self.rows_per_user,
+                # dense O is O(G^2) per chunk; the big path takes the
+                # exact factored form (ops/svdpp_big._ov_mul)
+                factored_overlap=self.hp.big_table and self._mesh is None,
             )
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -764,6 +767,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             num_ufeedback=m.param.num_ufeedback,
             sort_blocks=bool(self.sort_blocks),
             rows_per_user=self.rows_per_user,
+            factored_overlap=self.hp.big_table,  # big pair epochs
         )
         T, GS = packed.label.shape
         rows = ds._rows_cat

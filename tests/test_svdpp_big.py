@@ -305,3 +305,100 @@ def test_solver_big_table_engages_carry(monkeypatch):
     assert tr.hp.big_table
     entry = tr._pack_plus(ds)
     assert "chunk_users" in entry[2]
+
+
+# ---- factored overlap (O = diag + dup @ dup.T) ----------------------------
+def test_factored_overlap_matches_dense():
+    """compute_fb_overlap_factored must reproduce the dense O exactly:
+    O @ d == diag*d + dup @ (dup.T @ d) for random pools with partial
+    in-chunk id duplication."""
+    from svdfeature_tpu.data.batching_plus import (
+        compute_fb_overlap,
+        compute_fb_overlap_factored,
+    )
+
+    rng = np.random.RandomState(0)
+    C, G, F = 3, 6, 24
+    fb_idx = rng.randint(100, 140, (C, F)).astype(np.int64)  # some dups
+    fb_val = rng.rand(C, F).astype(np.float32)
+    fb_val[:, -4:] = 0.0  # padding entries
+    fb_block = rng.randint(0, G, (C, F)).astype(np.int64)
+    dense = compute_fb_overlap(fb_idx, fb_val, fb_block, G)
+    fac = compute_fb_overlap_factored(fb_idx, fb_val, fb_block, G)
+    assert fac is not None
+    diag, dup = fac
+    d = rng.rand(G + 1, 5).astype(np.float32)
+    for c in range(C):
+        want = dense[c] @ d
+        got = diag[c][:, None] * d + dup[c] @ (dup[c].T @ d)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_factored_overlap_dense_fallback():
+    """Densely duplicated pools (Ld > G+1) fall back to the dense O."""
+    from svdfeature_tpu.data.batching_plus import compute_fb_overlap_factored
+
+    rng = np.random.RandomState(1)
+    C, G, F = 1, 2, 64
+    fb_idx = rng.randint(0, 8, (C, F)).astype(np.int64)  # heavy dup... but
+    # Ld counts unique DUPLICATED ids (<= 8 here), so force many:
+    fb_idx = np.tile(np.arange(32), 2)[None, :].astype(np.int64)
+    fb_val = np.ones((C, F), np.float32)
+    fb_block = rng.randint(0, G, (C, F)).astype(np.int64)
+    assert compute_fb_overlap_factored(fb_idx, fb_val, fb_block, G) is None
+
+
+def test_big_epoch_factored_overlap_matches_small():
+    """The solver's big path with a SPARSE-duplication pool emits the
+    factored overlap and still matches the small-table trajectory."""
+    from svdfeature_tpu.ops import embed
+
+    # wide fb space + 1-2 fb/user so in-chunk duplication is sparse
+    rng = np.random.RandomState(17)
+    data_lines, fb_lines = [], []
+    for u in range(10):
+        nrows = int(rng.randint(2, 6))
+        nfb = int(rng.randint(1, 3))
+        fb_lines.append(
+            f"{nrows} {nfb} "
+            + " ".join(f"{rng.randint(0, 200)}:{rng.rand():.3f}"
+                       for _ in range(nfb))
+        )
+        for _ in range(nrows):
+            data_lines.append(
+                f"{rng.randint(1, 6)} 0 1 1 {u}:1 {rng.randint(0, 12)}:1"
+            )
+    ds = load_plus_text(
+        "x", "y", text="\n".join(data_lines), feedback_text="\n".join(fb_lines)
+    )
+
+    def mk():
+        tr = SVDPPFeatureTrainer(SVDTypeParam(format_type=1))
+        for n, v in dict(
+            num_user=10, num_item=12, num_ufeedback=200, num_factor=K,
+            base_score=3, learning_rate=0.01, wd_user=0.004, wd_item=0.004,
+            wd_ufeedback=0.003, users_per_batch=4,
+        ).items():
+            tr.set_param(n, str(v))
+        tr.init_model()
+        tr.init_trainer()
+        return tr
+
+    tr1 = mk()
+    tr1.update_rounds(ds, 3)
+    p1 = tr1.predict_all(ds)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(embed, "ONEHOT_THRESHOLD", 4)
+        tr2 = mk()
+        assert tr2.hp.big_table
+        entry = tr2._pack_plus(ds)
+        assert isinstance(entry[4], dict)  # factored overlap engaged
+        tr2.update_rounds(ds, 3)
+        p2 = tr2.predict_all(ds)
+    finally:
+        mp.undo()
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
