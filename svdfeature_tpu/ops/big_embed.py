@@ -106,7 +106,7 @@ def deaugment_state(state, k: int, n_rows: int = 0):
     )
 
 
-def sorted_dedup(ent_idx: jax.Array, payload: jax.Array):
+def sorted_dedup(ent_idx: jax.Array, payload: jax.Array, layout=None):
     """Sort entries by row id and accumulate duplicate payloads.
 
     Returns (order, si, acc, first, last):
@@ -119,7 +119,21 @@ def sorted_dedup(ent_idx: jax.Array, payload: jax.Array):
 
     No scatter anywhere: duplicates are merged with a cumsum and
     boundary differences (the first-position lookup is a cummax).
+
+    ``layout``: optional PRECOMPUTED (order, si, fpos, first, last) for
+    STATIC entry schedules — packed batches repeat the same ent_idx
+    every round, so the argsort and the boundary masks can be built
+    once at pack time (make_dedup_layout) and only the payload cumsum
+    stays per-round.
     """
+    if layout is not None:
+        order, si, fpos, first, last = layout
+        pay = payload[order]
+        P = jnp.cumsum(pay, axis=0)
+        Pprev = jnp.concatenate(
+            [jnp.zeros((1, P.shape[1]), P.dtype), P[:-1]], axis=0
+        )
+        return order, si, P - Pprev[fpos], first, last
     E = ent_idx.shape[0]
     order = jnp.argsort(ent_idx)
     si = ent_idx[order]
@@ -133,6 +147,25 @@ def sorted_dedup(ent_idx: jax.Array, payload: jax.Array):
     Pprev = jnp.concatenate([jnp.zeros((1, P.shape[1]), P.dtype), P[:-1]], axis=0)
     acc = P - Pprev[fpos]
     return order, si, acc, first, last
+
+
+def make_dedup_layout(ent_idx):
+    """Host-side layout for sorted_dedup over a STATIC entry schedule:
+    (order, si, fpos, first, last) as numpy arrays, batched over any
+    leading dims of ent_idx ([..., E])."""
+    import numpy as np
+
+    order = np.argsort(ent_idx, axis=-1, kind="stable").astype(np.int32)
+    si = np.take_along_axis(ent_idx, order, axis=-1).astype(np.int32)
+    neq = si[..., 1:] != si[..., :-1]
+    shape1 = si.shape[:-1] + (1,)
+    first = np.concatenate([np.ones(shape1, bool), neq], axis=-1)
+    last = np.concatenate([neq, np.ones(shape1, bool)], axis=-1)
+    iota = np.arange(si.shape[-1], dtype=np.int32)
+    fpos = np.maximum.accumulate(
+        np.where(first, iota, -1), axis=-1
+    ).astype(np.int32)
+    return order, si, fpos, first, last
 
 
 def write_rows_unique(w, rows_idx, rows_val, *, row_dma: bool):
@@ -282,7 +315,7 @@ def _forward_entries(
     return g, ref_g, ent_idx, payload, rows_u, rows_i, wu, wi, nstep, err, p_i
 
 
-def apply_entries(w, step0, ent_idx, payload, rows_u, rows_i, wu, wi, lr, consts, hp):
+def apply_entries(w, step0, ent_idx, payload, rows_u, rows_i, wu, wi, lr, consts, hp, layout=None):
     """Back half of the big-table step: sorted-dedup merge of the entry
     stream, per-touched-row regularization, ONE unique-row write.
 
@@ -296,7 +329,7 @@ def apply_entries(w, step0, ent_idx, payload, rows_u, rows_i, wu, wi, lr, consts
     lazy = hp.reg_method >= 4
     f32 = jnp.float32
 
-    order, si, acc, first, last = sorted_dedup(ent_idx, payload)
+    order, si, acc, first, last = sorted_dedup(ent_idx, payload, layout)
     dw = acc[:, :k]
     db = acc[:, k]
     cu = acc[:, k + 1]

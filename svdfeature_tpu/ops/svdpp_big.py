@@ -315,11 +315,17 @@ def _epoch_carry(
             p_u_extra=fb_slot, bias_extra=fbb_slot,
         )
         Wd = st.w.shape[1]
+        # static dedup layout for the item stream when the pack shipped
+        # it (keys ride the stacked dict; the scan slices them per batch)
+        layout = None
+        if "i_order" in batch:
+            layout = (batch["i_order"], batch["i_si"], batch["i_fpos"],
+                      batch["i_first"], batch["i_last"])
         w = apply_entries(
             st.w, st.step, ent_idx, payload,
             jnp.zeros((0, 1, Wd), jnp.float32), rows_i,
             jnp.zeros((0, 1, k), jnp.float32), wi,
-            lr, consts, hp,
+            lr, consts, hp, layout=layout,
         )
         uslab = _update_uslab(uslab, du, dbu, cu_g, lr, wdu, consts, hp)
         st = TrainState(

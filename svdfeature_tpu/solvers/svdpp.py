@@ -395,12 +395,28 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                 )
             else:
                 fbd = packed.fb_arrays()
+                arrays = packed.device_arrays()
                 if self.hp.big_table and self.hp.reg_method < 4:
                     plan = self._carry_users_plan(packed)
                     if plan is not None:
                         fbd["chunk_users"] = plan  # enables carry_users
+                        # the item entry schedule is static across
+                        # rounds: precompute the per-batch sorted-dedup
+                        # layout (ops/big_embed.make_dedup_layout) so
+                        # the epoch skips its per-batch argsort
+                        from ..ops.big_embed import make_dedup_layout
+
+                        T = packed.i_idx.shape[0]
+                        lay = make_dedup_layout(
+                            packed.i_idx.reshape(T, -1).astype(np.int64)
+                        )
+                        for kk, v in zip(
+                            ("i_order", "i_si", "i_fpos", "i_first",
+                             "i_last"), lay,
+                        ):
+                            arrays[kk] = v
                 entry = (
-                    jax.device_put(packed.device_arrays()),
+                    jax.device_put(arrays),
                     jax.device_put(packed.chunk_id),
                     jax.device_put(fbd),
                     packed.perm,
