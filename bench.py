@@ -1080,7 +1080,10 @@ def parent_main() -> None:
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
     quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT", "600"))
-    bench_timeout = float(os.environ.get("BENCH_TIMEOUT", "2400"))
+    # 9 workloads incl. the two KDD-scale ones (dataset build + pack +
+    # compile are untimed but real wall time): a full clean run is
+    # ~35-40 min, so the kill timeout leaves headroom above that
+    bench_timeout = float(os.environ.get("BENCH_TIMEOUT", "3300"))
 
     # sweep orphaned per-PID scratch from abnormal prior exits, and any
     # stale scratch under our own name

@@ -53,10 +53,13 @@ def _fake_results(bench):
     w = {k: _fake_workload() for k in (
         "basicMF", "neighborhoodModel", "binaryClassification",
         "implicitFeedback", "pairwiseRank", "bigTable", "bigSvdpp",
+        "bigRank",
     )}
     w["pairwiseRank"].update(precision_at_20=0.16479,
                              golden_precision_at_20=0.1651, p20_ok=True)
     w["bigTable"].update(learning_ok=True, table_rows=2_048_576)
+    w["bigRank"].update(learning_ok=True, pair_order_acc=0.999,
+                        pairs_per_round=1_500_000)
     imfb = _fake_workload()
     imfb.update({
         "stacked_examples_per_sec": 6_000_000,
