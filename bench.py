@@ -184,6 +184,15 @@ def timed_reps(run, setup=None) -> dict:
         out["n_hot"] = sum(
             1 for p in probes if p >= HOT_FACTOR * (_PROBE_BASE_MS or p)
         )
+        if 0 < out["n_hot"] < len(times):
+            # the all-reps median above is the CONSERVATIVE claim (hot
+            # reps only slow it down); the clean-rep median is recorded
+            # alongside so a congested window is quantifiable
+            clean = sorted(
+                t for t, p in zip(times, probes)
+                if p < HOT_FACTOR * _PROBE_BASE_MS
+            )
+            out["median_clean_s"] = round(clean[len(clean) // 2], 4)
     return out
 
 
@@ -1000,18 +1009,20 @@ def child_main(results_path: str) -> None:
         tr.update_rounds(src, BR)  # skeleton + compile + warm
         _ = int(tr.state.step)
         last = {"tr": tr}
-        n_pairs = PairSource(train, IteratorConfig()).epoch_dataset().rows.num_row
 
         def one():
             tr.update_rounds(src, BR)
             _ = int(tr.state.step)
 
         stats = timed_reps(one)
+        # quality gate: the planted ordering (positives in the low item
+        # half) must be learned on a fresh pair epoch; the pair count is
+        # deterministic, so this probe epoch also provides it (no extra
+        # 2M-row epoch synthesis just for the count)
+        probe = PairSource(train, IteratorConfig(), seed=77).epoch_dataset()
+        n_pairs = probe.rows.num_row
         eps = round(BR * n_pairs / stats["best_s"])
         eps_med = round(BR * n_pairs / stats["median_s"])
-        # quality gate: the planted ordering (positives in the low item
-        # half) must be learned on a fresh pair epoch
-        probe = PairSource(train, IteratorConfig(), seed=77).epoch_dataset()
         pb = slice_plus_blocks(probe, min(2000, probe.num_block))
         # raw score of a [pos, neg] difference row > 0 == correctly
         # ordered (active_type=3 predicts the raw margin)

@@ -120,20 +120,21 @@ def sorted_dedup(ent_idx: jax.Array, payload: jax.Array, layout=None):
     No scatter anywhere: duplicates are merged with a cumsum and
     boundary differences (the first-position lookup is a cummax).
 
-    ``layout``: optional PRECOMPUTED (order, si, fpos, first, last) for
+    ``layout``: optional PRECOMPUTED (order, si, fpos, last) for
     STATIC entry schedules — packed batches repeat the same ent_idx
     every round, so the argsort and the boundary masks can be built
     once at pack time (make_dedup_layout) and only the payload cumsum
-    stays per-round.
+    stays per-round.  The ``first`` output is None on this branch (no
+    caller consumes it).
     """
     if layout is not None:
-        order, si, fpos, first, last = layout
+        order, si, fpos, last = layout
         pay = payload[order]
         P = jnp.cumsum(pay, axis=0)
         Pprev = jnp.concatenate(
             [jnp.zeros((1, P.shape[1]), P.dtype), P[:-1]], axis=0
         )
-        return order, si, P - Pprev[fpos], first, last
+        return order, si, P - Pprev[fpos], None, last
     E = ent_idx.shape[0]
     order = jnp.argsort(ent_idx)
     si = ent_idx[order]
@@ -151,8 +152,8 @@ def sorted_dedup(ent_idx: jax.Array, payload: jax.Array, layout=None):
 
 def make_dedup_layout(ent_idx):
     """Host-side layout for sorted_dedup over a STATIC entry schedule:
-    (order, si, fpos, first, last) as numpy arrays, batched over any
-    leading dims of ent_idx ([..., E])."""
+    (order, si, fpos, last) as numpy arrays, batched over any leading
+    dims of ent_idx ([..., E])."""
     import numpy as np
 
     order = np.argsort(ent_idx, axis=-1, kind="stable").astype(np.int32)
@@ -165,7 +166,7 @@ def make_dedup_layout(ent_idx):
     fpos = np.maximum.accumulate(
         np.where(first, iota, -1), axis=-1
     ).astype(np.int32)
-    return order, si, fpos, first, last
+    return order, si, fpos, last
 
 
 def write_rows_unique(w, rows_idx, rows_val, *, row_dma: bool):

@@ -14,7 +14,7 @@ law: per (round, user), an independent uniform permutation of the user's
 candidate lists, paired cyclically.  The stream differs from the host
 path's glibc-seeded numpy stream (a different permutation of the same
 candidate sets each round); the P@20 contract is metric-level, verified
-on-device (scripts/bench_rank_device.py: 0.1647 vs golden 0.1651) and by
+on-device (measured 0.1647 vs golden 0.1651; PERF.md 'pairwiseRank') and by
 the law test (tests/test_rank.py::test_device_sampler_law).
 
 Measured on the bench TPU (ML-100K rank, 40 rounds) this path is a

@@ -320,7 +320,7 @@ def _epoch_carry(
         layout = None
         if "i_order" in batch:
             layout = (batch["i_order"], batch["i_si"], batch["i_fpos"],
-                      batch["i_first"], batch["i_last"])
+                      batch["i_last"])
         w = apply_entries(
             st.w, st.step, ent_idx, payload,
             jnp.zeros((0, 1, Wd), jnp.float32), rows_i,

@@ -24,6 +24,42 @@ from ..ops.svdpp import (
 from .base import SVDFeatureTrainer
 
 
+def _chunk_users_from_slots(uid_slots, cid, dummy):
+    """Shared verification + assembly for the user-carry chunk plan.
+
+    uid_slots: [T, G, M] int64 user-row id per slot (dummy where the
+    slot carries no user).  Checks, in order: one id per unit per batch
+    (mixed real ids -> None), id constant across the chunk's batches,
+    ids distinct within a chunk.  Returns [C, G] int32 (dummy where a
+    unit never names a user) or None.  Used by both the packed-plane
+    plan (_carry_users_plan) and the pair-candidate plan
+    (_pair_chunk_users) so the carry precondition cannot drift between
+    them."""
+    arr = np.where(uid_slots == dummy, -1, uid_slots)
+    per_t_max = arr.max(axis=2)  # [T, G]
+    big = np.where(arr < 0, np.iinfo(np.int64).max, arr)
+    per_t_min = np.where(per_t_max < 0, -1, big.min(axis=2))
+    if (per_t_min != per_t_max).any():
+        return None  # mixed ids within one unit's slots
+    cid = np.asarray(cid)
+    G = per_t_max.shape[1]
+    C = int(cid.max()) + 1 if len(cid) else 1
+    chunk_users = np.full((C, G), dummy, np.int64)
+    for c in range(C):
+        rows = per_t_max[cid == c]  # [Tc, G]
+        if not len(rows):
+            continue
+        cu = rows.max(axis=0)
+        # constant across the chunk's batches where real
+        if (np.where(rows < 0, cu, rows) != cu[None]).any():
+            return None
+        real = cu[cu >= 0]
+        if len(np.unique(real)) != len(real):
+            return None  # same user in two units of one chunk
+        chunk_users[c] = np.where(cu < 0, dummy, cu)
+    return chunk_users.astype(np.int32)
+
+
 def _pair_stacked(sk_dev, flatP, flatN):
     """Assemble a pair epoch's stacked blocks from the static per-row
     tables and the sampled (pos_row, neg_row) planes ([T, GS] or
@@ -305,8 +341,6 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         across the chunk's units.  Returns None when the layout (or a
         hierarchy expansion) breaks the condition — the generic entry
         path handles those."""
-        import numpy as np
-
         u_idx = packed.u_idx  # [T, GS, Su]
         if u_idx.shape[2] != 1:
             return None
@@ -315,30 +349,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         G = GS // M
         dummy = self.model.num_rows
         ids = u_idx[:, :, 0].reshape(T, G, M).astype(np.int64)
-        arr = np.where(ids == dummy, -1, ids)
-        per_t_max = arr.max(axis=2)  # [T, G]
-        big = np.where(arr < 0, np.iinfo(np.int64).max, arr)
-        per_t_min = np.where(
-            per_t_max < 0, -1, big.min(axis=2)
-        )
-        if (per_t_min != per_t_max).any():
-            return None  # mixed ids within one unit's slots
-        cid = np.asarray(packed.chunk_id)
-        C = int(cid.max()) + 1 if len(cid) else 1
-        chunk_users = np.full((C, G), dummy, np.int64)
-        for c in range(C):
-            rows = per_t_max[cid == c]  # [Tc, G]
-            if not len(rows):
-                continue
-            cu = rows.max(axis=0)
-            # constant across the chunk's batches where real
-            if (np.where(rows < 0, cu, rows) != cu[None]).any():
-                return None
-            real = cu[cu >= 0]
-            if len(np.unique(real)) != len(real):
-                return None  # same user in two units of one chunk
-            chunk_users[c] = np.where(cu < 0, dummy, cu)
-        return chunk_users.astype(np.int32)
+        return _chunk_users_from_slots(ids, packed.chunk_id, dummy)
 
     def _pack_plus(self, ds: PlusDataset, cache: bool = True):
         key = id(ds)
@@ -411,8 +422,7 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
                             packed.i_idx.reshape(T, -1).astype(np.int64)
                         )
                         for kk, v in zip(
-                            ("i_order", "i_si", "i_fpos", "i_first",
-                             "i_last"), lay,
+                            ("i_order", "i_si", "i_fpos", "i_last"), lay,
                         ):
                             arrays[kk] = v
                 entry = (
@@ -674,6 +684,11 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
             and self.hp.big_table
             and self.hp.reg_method < 4
         ):
+            # NOTE: the plan is per-chunk; a stream whose chunks differ
+            # in carry-ability (e.g. one chunk repeats a user id across
+            # two blocks) compiles TWO epoch variants — both exact, both
+            # cached after their first occurrence, so the cost is one
+            # extra compile, not a per-chunk recompile
             plan = self._carry_users_plan(packed)
             if plan is not None:
                 # pad to the stream's stable chunk cap so every chunk
@@ -924,30 +939,9 @@ class SVDPPFeatureTrainer(SVDFeatureTrainer):
         j = np.asarray(jp_slot, np.int64)
         uid_slot = np.where(j >= P, dummy, cand_uid[np.minimum(j, P - 1)])
         T, GS, G, M = sk["T"], sk["GS"], sk["G"], sk["M"]
-        uid_tg = np.where(
-            uid_slot.reshape(T, G, M) == dummy, -1,
-            uid_slot.reshape(T, G, M),
+        return _chunk_users_from_slots(
+            uid_slot.reshape(T, G, M), sk["chunk_id"], dummy
         )
-        tg_max = uid_tg.max(axis=2)
-        tg_big = np.where(uid_tg < 0, np.iinfo(np.int64).max, uid_tg)
-        tg_min = np.where(tg_max < 0, -1, tg_big.min(axis=2))
-        if (tg_min != tg_max).any():
-            return None
-        cid = np.asarray(sk["chunk_id"], np.int64)
-        C = int(cid.max()) + 1 if len(cid) else 1
-        chunk_users = np.full((C, G), dummy, np.int64)
-        for c in range(C):
-            rows = tg_max[cid == c]
-            if not len(rows):
-                continue
-            cu = rows.max(axis=0)
-            if (np.where(rows < 0, cu, rows) != cu[None]).any():
-                return None
-            real = cu[cu >= 0]
-            if len(np.unique(real)) != len(real):
-                return None
-            chunk_users[c] = np.where(cu < 0, dummy, cu)
-        return chunk_users.astype(np.int32)
 
     def _pair_flats(self, ds, sk):
         """Sample one epoch and place the pair rows at their static slots;
