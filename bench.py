@@ -609,6 +609,13 @@ def child_main(results_path: str) -> None:
         res.update(roofline(
             pds.rows.num_row * 24 + nfb * 8, ROUNDS, stats_default["best_s"],
             "sequential chunk scan, tables+pool VMEM-resident"))
+        # all-DEFAULT data IS the implicitFeedback workload (bit-identical
+        # degeneration), so its reference-CPU baseline applies verbatim
+        base_d = golden["implicitFeedback"]["examples_per_sec_cpu"]
+        res["examples_per_sec_cpu_reference"] = base_d
+        res["vs_baseline"] = round(res["examples_per_sec"] / base_d, 2)
+        res["vs_baseline_median"] = round(
+            res["examples_per_sec_median"] / base_d, 2)
         if svdpp_res:
             res["vs_svdpp"] = round(
                 res["examples_per_sec"] / svdpp_res["examples_per_sec"], 3

@@ -151,8 +151,15 @@ class PairSource:
             jn=(nstart[bb] + jj % np.maximum(N_b[bb], 1)).astype(np.int32),
             P_b=P_b,
             N_b=N_b,
+            # smallest dtype that fits the largest block-local offset:
+            # the offset planes are the dominant per-dispatch tunnel
+            # transfer of the multi-round path (~3 MB/K-block on
+            # ML-100K), so uint8 halves it again when every block has
+            # < 256 candidates (e.g. the bigRank 3N shape)
             off_dtype=(
-                np.uint16
+                np.uint8
+                if max(P_b.max(initial=0), N_b.max(initial=0)) < (1 << 8)
+                else np.uint16
                 if max(P_b.max(initial=0), N_b.max(initial=0)) < (1 << 16)
                 else np.int32
             ),
@@ -183,7 +190,10 @@ class PairSource:
         # rounds on the ML-100K rank workload; the spikes starved the
         # device).  Same law (uniform per-block permutations), different
         # stream — as documented above, the stream is not a contract.
-        elem16 = dt == np.uint16
+        # the native plane is uint16 or int32; uint8 (every block < 256
+        # candidates) narrows on the host — the cast is cheap next to
+        # the tunnel bytes it halves
+        elem16 = dt in (np.uint16, np.uint8)
         opl = block_shuffle_native(
             geo["P_b"], n_rounds, int(rng.integers(1 << 63)), elem16
         )
@@ -191,6 +201,9 @@ class PairSource:
             onl = block_shuffle_native(
                 geo["N_b"], n_rounds, int(rng.integers(1 << 63)), elem16
             )
+            if dt == np.uint8:
+                opl = opl.astype(np.uint8)
+                onl = onl.astype(np.uint8)
             return opl, onl
 
         def perm(base, count):
